@@ -1,0 +1,112 @@
+"""Typed configuration for the TPU-native vector engine.
+
+The reference scatters its configuration across constructor kwargs and argparse flags
+(reference: src/mlvectordb/implementations/index.py:18-30, src/mlvectordb/api/server.py:17-41,
+hardcoded max_elements=10_000 / ef=50 at index.py:37-38).  Here the whole engine is configured
+by one frozen dataclass so that every jit/pallas specialization key is explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Metrics supported by the engine.  These mirror the reference's hnswlib spaces
+# (reference: src/mlvectordb/implementations/index.py:18 — "l2", "ip", "cosine") plus the
+# aliases its README/examples use ("euclidean", "dot").
+METRICS = ("l2", "ip", "cosine")
+METRIC_ALIASES = {
+    "l2": "l2",
+    "euclidean": "l2",
+    "ip": "ip",
+    "dot": "ip",
+    "inner_product": "ip",
+    "cosine": "cosine",
+}
+
+# Score conventions, kept byte-compatible with the reference
+# (reference: src/mlvectordb/implementations/index.py:121-128):
+#   l2     -> squared euclidean distance (lower is better)
+#   ip     -> 1 - <q, d>                 (lower is better)
+#   cosine -> cosine similarity          (higher is better; reference returns 1 - dist)
+HIGHER_IS_BETTER = {"l2": False, "ip": False, "cosine": True}
+
+
+def canonical_metric(metric: str) -> str:
+    m = METRIC_ALIASES.get(metric.lower())
+    if m is None:
+        raise ValueError(f"unknown metric {metric!r}; supported: {sorted(METRIC_ALIASES)}")
+    return m
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Engine-wide configuration.
+
+    Shapes are always static under jit: capacities grow in powers of two, query batches are
+    bucketed, and the vector dimension is padded to a lane multiple, so the set of compiled
+    programs stays small and cached.
+    """
+
+    # Storage dtype for the database matrix.  bfloat16 halves HBM traffic on the scan;
+    # accumulation is always float32 on the MXU (preferred_element_type).
+    dtype: str = "float32"  # "float32" | "bfloat16"
+
+    # Slots allocated for a fresh namespace; grows by powers of two up to max_capacity.
+    initial_capacity: int = 4096
+    max_capacity: int = 1 << 27
+
+    # Pad the feature dimension up to a multiple of this (TPU lane width).
+    lane: int = 128
+    # Pad/round capacity to a multiple of this (sublane * pipeline friendliness).
+    capacity_multiple: int = 512
+
+    # Database-axis tile for the streaming scan / pallas grid.
+    db_tile: int = 8192
+    # Query-batch bucket sizes (powers of two); singles run in the smallest bucket.
+    query_buckets: Tuple[int, ...] = (8, 64, 512, 4096)
+    # k is bucketed too so compiled program count stays bounded. 1000 mirrors the
+    # reference's top_k upper bound (reference: src/mlvectordb/api/rest_api.py:24).
+    k_buckets: Tuple[int, ...] = (16, 128, 1024)
+
+    default_metric: str = "l2"
+
+    # Tombstone ratio that triggers per-namespace compaction
+    # (reference: src/mlvectordb/implementations/index.py:84-89 rebuild_threshold=0.2 —
+    # but unlike the reference's Index.rebuild, compaction here never touches other
+    # namespaces; see SURVEY.md §3.4 for the reference's cross-namespace wipe bug).
+    rebuild_threshold: float = 0.2
+
+    # Use the fused Pallas kernel when running on TPU; fall back to the pure-XLA scan
+    # elsewhere (CPU simulation, interpret mode).
+    use_pallas: bool = True
+
+    def bucket_batch(self, n: int) -> int:
+        for b in self.query_buckets:
+            if n <= b:
+                return b
+        return _next_pow2(n)
+
+    def bucket_k(self, k: int) -> int:
+        for b in self.k_buckets:
+            if k <= b:
+                return b
+        return _next_pow2(k)
+
+    def pad_dim(self, dim: int) -> int:
+        return -(-dim // self.lane) * self.lane
+
+    def round_capacity(self, n: int) -> int:
+        cap = max(self.initial_capacity, _next_pow2(n))
+        m = self.capacity_multiple
+        return -(-cap // m) * m
+
+
+DEFAULT_CONFIG = EngineConfig()

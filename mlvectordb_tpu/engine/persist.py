@@ -1,0 +1,72 @@
+"""Snapshot persistence: save/load the whole store to disk.
+
+The reference has no persistence at all — its README's save_index/load_index/
+create_backup/restore_from_backup boxes are unimplemented (SURVEY.md §0.1, §5.4).  Here a
+snapshot is the per-namespace device->host transfer of live rows + id table + metadata,
+written as one .npz (values) + one .json (ids, metadata) per namespace, with a manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..store.namespace import NamespaceStore
+from ..store.storage import StorageEngine
+
+_MANIFEST = "manifest.json"
+
+
+def _ns_file(i: int) -> str:
+    return f"namespace_{i:05d}"
+
+
+def save_storage(storage: StorageEngine, path: str) -> List[str]:
+    os.makedirs(path, exist_ok=True)
+    names = storage.list_namespaces()
+    manifest = {"format": "mlvectordb-tpu-snapshot", "version": 1, "namespaces": []}
+    for i, name in enumerate(names):
+        ns = storage.namespace(name)
+        if ns is None:
+            continue
+        snap = ns.snapshot_arrays()
+        base = _ns_file(i)
+        np.savez_compressed(os.path.join(path, base + ".npz"), values=snap["values"])
+        with open(os.path.join(path, base + ".json"), "w") as f:
+            json.dump(
+                {"name": snap["name"], "dim": snap["dim"], "ids": snap["ids"],
+                 "metadata": snap["metadata"]},
+                f,
+            )
+        manifest["namespaces"].append({"name": name, "file": base, "count": len(snap["ids"])})
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return names
+
+
+def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEngine:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "mlvectordb-tpu-snapshot":
+        raise ValueError(f"not a snapshot directory: {path}")
+    storage = StorageEngine(config)
+    for entry in manifest["namespaces"]:
+        base = entry["file"]
+        with np.load(os.path.join(path, base + ".npz")) as z:
+            values = z["values"]
+        with open(os.path.join(path, base + ".json")) as f:
+            meta = json.load(f)
+        snap = {
+            "name": meta["name"],
+            "dim": meta["dim"],
+            "ids": meta["ids"],
+            "values": values,
+            "metadata": meta["metadata"],
+        }
+        ns = NamespaceStore.from_snapshot(snap, config, storage.host_mirror)
+        storage._namespaces[meta["name"]] = ns
+    return storage

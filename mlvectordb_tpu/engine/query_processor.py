@@ -1,0 +1,320 @@
+"""Query engine: jit-compiled batched search + consistent write/delete paths.
+
+Capability parity with the reference's QueryProcessor
+(reference: src/mlvectordb/implementations/query_processor.py:11-82): insert / upsert_many /
+find_similar / delete plus the REST helper surface (list_namespaces /
+get_namespace_vectors / get_namespace_count / get_storage_info).  Reference behaviors kept
+byte-compatible where sane (SURVEY.md §7):
+  * k clamped to the live count (index.py:103-107)
+  * search of a missing namespace returns [] (index.py:98-99)
+  * result dicts {id, values, metadata, score}, silently dropping hits that vanished from
+    storage between select and hydrate (query_processor.py:38-49)
+  * score convention: l2/ip -> raw distance (lower better), cosine -> similarity = 1 - dist
+    (index.py:121-128)
+Reference bugs deliberately NOT inherited: the metric argument here genuinely selects the
+distance function (the reference's hnswlib space is frozen at construction — SURVEY.md
+§3.3); upsert with an explicit id truly overwrites (§3.2); compaction never clears other
+namespaces (§3.4).
+
+Additions (the README-documented intent, SURVEY.md §0.1): true batched search, range /
+similarity-threshold search, metadata-filtered and hybrid queries, explain, statistics,
+snapshot save/load.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid as uuid_mod
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, HIGHER_IS_BETTER, EngineConfig, canonical_metric
+from ..ops.backend import knn_backend
+from ..ops.distances import MASKED
+from ..interfaces.vector import VectorDTO
+from ..store.storage import StorageEngine
+from ..store.vector import Vector
+from .filters import FilterMaskCache
+
+
+class QueryStats:
+    """Query-type counters + latency accumulators (serves GET /statistics)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.counts: Dict[str, int] = {}
+        self.total_ms: Dict[str, float] = {}
+
+    def record(self, kind: str, elapsed_ms: float) -> None:
+        with self._lock:
+            self.counts[kind] = self.counts.get(kind, 0) + 1
+            self.total_ms[kind] = self.total_ms.get(kind, 0.0) + elapsed_ms
+
+    def as_dict(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                "total_queries": sum(self.counts.values()),
+                "queries_by_type": dict(self.counts),
+                "avg_latency_ms_by_type": {
+                    k: (self.total_ms[k] / c if c else 0.0) for k, c in self.counts.items()
+                },
+            }
+
+
+class QueryProcessor:
+    """Composes the device store with the fused search kernels."""
+
+    def __init__(
+        self,
+        storage: Optional[StorageEngine] = None,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ):
+        self.config = config
+        self.storage = storage if storage is not None else StorageEngine(config)
+        self._filter_masks = FilterMaskCache()
+        self.stats = QueryStats()
+        self._write_lock = threading.RLock()  # single-writer discipline (SURVEY.md §7)
+
+    # ------------------------------------------------------------------ writes
+
+    def _materialize(self, dto: VectorDTO) -> Vector:
+        return Vector(dto.values, dto.metadata, id=dto.id)
+
+    def insert(self, vector: VectorDTO, namespace: str = "default") -> Vector:
+        with self._write_lock:
+            v = self._materialize(vector)
+            self.storage.write(v, namespace)
+            return v
+
+    def upsert_many(
+        self, vectors: Sequence[VectorDTO], namespace: str = "default"
+    ) -> List[Vector]:
+        """True upsert: DTOs carrying an id overwrite in place; id-less DTOs mint uuid4
+        (fixing the reference's insert-only 'upsert', SURVEY.md §3.2)."""
+        with self._write_lock:
+            vs = [self._materialize(d) for d in vectors]
+            self.storage.write_vectors(vs, namespace)
+            return vs
+
+    def delete(
+        self, vector_ids: Iterable[uuid_mod.UUID], namespace: str = "default"
+    ) -> List[uuid_mod.UUID]:
+        with self._write_lock:
+            return self.storage.delete_vectors(vector_ids, namespace)
+
+    # ------------------------------------------------------------------ search core
+
+    def _raw_search(
+        self,
+        q_np: np.ndarray,       # [B, dim] float32 logical queries
+        namespace: str,
+        k: int,
+        metric: str,
+        filter: Optional[Dict[str, Any]],
+    ):
+        """Returns (dist [B, k'] np, slots [B, k'] np, ns_store) with k' = min(k, live).
+        Empty namespace / k<=0 -> (None, None, None)."""
+        ns = self.storage.namespace(namespace)
+        if ns is None or ns.live_count == 0 or k <= 0:
+            return None, None, None
+        if q_np.shape[1] != ns.dim:
+            raise ValueError(
+                f"query dim {q_np.shape[1]} != namespace {namespace!r} dim {ns.dim}"
+            )
+        state = ns.device_state()  # snapshot: functional arrays isolate readers
+
+        valid = state.valid
+        if filter:
+            mask = self._filter_masks.mask_for(ns, filter)
+            valid = jnp.logical_and(valid, jnp.asarray(mask))
+
+        k_eff = min(k, ns.live_count)
+        kb = min(self.config.bucket_k(k_eff), ns.capacity)
+        B = q_np.shape[0]
+        Bb = self.config.bucket_batch(B)
+        q_pad = np.zeros((Bb, ns.dpad), np.float32)
+        q_pad[:B, : ns.dim] = q_np
+
+        backend = knn_backend(self.config)
+        dist, idx = backend(
+            jnp.asarray(q_pad), state.data, valid, state.sq_norms,
+            k=kb, metric=metric, db_tile=self.config.db_tile,
+        )
+        dist = np.asarray(dist)[:B, :k_eff]
+        idx = np.asarray(idx)[:B, :k_eff]
+        return dist, idx, ns
+
+    def _to_user_score(self, dist: np.ndarray, metric: str) -> np.ndarray:
+        # reference convention (index.py:121-128): cosine -> 1 - dist; else raw distance
+        return 1.0 - dist if HIGHER_IS_BETTER[metric] else dist
+
+    # ------------------------------------------------------------------ public queries
+
+    def find_similar(
+        self,
+        query: VectorDTO,
+        top_k: int = 10,
+        namespace: str = "default",
+        metric: Optional[str] = None,
+        filter: Optional[Dict[str, Any]] = None,
+    ) -> List[Dict[str, Any]]:
+        return self.find_similar_batch([query], top_k, namespace, metric, filter)[0]
+
+    def find_similar_batch(
+        self,
+        queries: Sequence[VectorDTO],
+        top_k: int = 10,
+        namespace: str = "default",
+        metric: Optional[str] = None,
+        filter: Optional[Dict[str, Any]] = None,
+    ) -> List[List[Dict[str, Any]]]:
+        """Batched kNN — query batches are free MXU parallelism; this is the QPS path."""
+        t0 = time.perf_counter()
+        m = canonical_metric(metric or self.config.default_metric)
+        q_np = np.stack([np.asarray(q.values, np.float32).reshape(-1) for q in queries])
+        dist, slots, ns = self._raw_search(q_np, namespace, top_k, m, filter)
+        if ns is None:
+            results: List[List[Dict[str, Any]]] = [[] for _ in queries]
+        else:
+            user = self._to_user_score(dist, m)
+            results = [self._hydrate_scored(user[i], dist[i], slots[i], ns) for i in range(len(queries))]
+        self.stats.record("knn" if not filter else "hybrid", (time.perf_counter() - t0) * 1e3)
+        return results
+
+    def _hydrate_scored(self, user_row, dist_row, slot_row, ns) -> List[Dict[str, Any]]:
+        out = []
+        for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
+            if d >= float(MASKED) / 2:
+                continue
+            vid = ns.slot_to_id(int(slot))
+            if vid is None:
+                continue
+            vec = ns.get(vid)
+            if vec is None:
+                continue
+            out.append({"id": vid, "values": vec.values, "metadata": vec.metadata, "score": float(u)})
+        return out
+
+    def range_search(
+        self,
+        query: VectorDTO,
+        radius: float,
+        namespace: str = "default",
+        metric: Optional[str] = None,
+        filter: Optional[Dict[str, Any]] = None,
+        limit: int = 1000,
+    ) -> List[Dict[str, Any]]:
+        """All vectors within ``radius`` of the query (README-advertised /query/range).
+
+        Threshold is in user-score units: l2/ip -> distance <= radius; cosine ->
+        similarity >= radius.  At most ``limit`` best-first results are returned.
+        """
+        t0 = time.perf_counter()
+        m = canonical_metric(metric or self.config.default_metric)
+        q_np = np.asarray(query.values, np.float32).reshape(1, -1)
+        dist, slots, ns = self._raw_search(q_np, namespace, limit, m, filter)
+        if ns is None:
+            self.stats.record("range", (time.perf_counter() - t0) * 1e3)
+            return []
+        user = self._to_user_score(dist, m)
+        hits = self._hydrate_scored(user[0], dist[0], slots[0], ns)
+        if HIGHER_IS_BETTER[m]:
+            hits = [h for h in hits if h["score"] >= radius]
+        else:
+            hits = [h for h in hits if h["score"] <= radius]
+        self.stats.record("range", (time.perf_counter() - t0) * 1e3)
+        return hits
+
+    def similarity_search(
+        self,
+        query: VectorDTO,
+        threshold: float,
+        namespace: str = "default",
+        filter: Optional[Dict[str, Any]] = None,
+        limit: int = 1000,
+    ) -> List[Dict[str, Any]]:
+        """Cosine-similarity threshold search (README-advertised /query/similarity)."""
+        return self.range_search(query, threshold, namespace, "cosine", filter, limit)
+
+    def query_by_metadata(
+        self, filter: Dict[str, Any], namespace: str = "default", limit: int = 1000
+    ) -> List[Dict[str, Any]]:
+        """Pure metadata query (README-advertised /query/metadata)."""
+        t0 = time.perf_counter()
+        vecs = self.storage.query_by_metadata(filter, namespace)[:limit]
+        out = [
+            {"id": v.id, "values": v.values, "metadata": v.metadata, "score": 0.0}
+            for v in vecs
+        ]
+        self.stats.record("metadata", (time.perf_counter() - t0) * 1e3)
+        return out
+
+    def explain_query(
+        self,
+        query: VectorDTO,
+        top_k: int = 10,
+        namespace: str = "default",
+        metric: Optional[str] = None,
+        filter: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        """Describe the execution plan without running it (README /query/explain)."""
+        m = canonical_metric(metric or self.config.default_metric)
+        ns = self.storage.namespace(namespace)
+        live = ns.live_count if ns else 0
+        cap = ns.capacity if ns else 0
+        kb = min(self.config.bucket_k(min(top_k, max(live, 1))), max(cap, 1))
+        return {
+            "query_type": "hybrid" if filter else "knn",
+            "namespace": namespace,
+            "metric": m,
+            "higher_is_better": HIGHER_IS_BETTER[m],
+            "exact": True,
+            "expected_recall": 1.0,
+            "live_vectors": live,
+            "scanned_slots": cap,
+            "k_requested": top_k,
+            "k_effective": min(top_k, live),
+            "k_kernel_bucket": kb,
+            "db_tile": min(self.config.db_tile, cap) if cap else 0,
+            "backend": getattr(knn_backend(self.config), "__name__", "exact_knn"),
+            "filter": filter,
+        }
+
+    def get_statistics(self) -> Dict[str, Any]:
+        return self.stats.as_dict()
+
+    # ------------------------------------------------------------------ REST helpers
+    # (parity with reference query_processor.py:64-82)
+
+    def list_namespaces(self) -> List[str]:
+        return self.storage.list_namespaces()
+
+    def get_namespace_vectors(self, namespace: str = "default") -> List[Vector]:
+        ns = self.storage.namespace(namespace)
+        return ns.all_vectors() if ns else []
+
+    def get_namespace_count(self, namespace: str = "default") -> int:
+        ns = self.storage.namespace(namespace)
+        return ns.live_count if ns else 0
+
+    def get_storage_info(self) -> Dict[str, Any]:
+        return self.storage.get_storage_info()
+
+    # ------------------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        from .persist import save_storage
+
+        save_storage(self.storage, path)
+
+    @classmethod
+    def load(
+        cls, path: str, config: EngineConfig = DEFAULT_CONFIG
+    ) -> "QueryProcessor":
+        from .persist import load_storage
+
+        qp = cls(load_storage(path, config), config)
+        return qp

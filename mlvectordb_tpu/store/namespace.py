@@ -1,0 +1,351 @@
+"""Per-namespace device store: padded HBM matrix + liveness mask + host id tables.
+
+This single structure replaces BOTH the reference's dict-of-dicts storage
+(reference: src/mlvectordb/implementations/storage_engine_in_memory.py:12) and its
+per-namespace hnswlib graph + uuid<->label bimaps
+(reference: src/mlvectordb/implementations/index.py:32-67): on TPU, exact search over the
+namespace matrix IS the index, so there is no separate graph to keep consistent.
+
+Device state (all shapes static under jit; capacity grows in powers of two):
+  data     [capacity, dim_padded]  storage dtype (f32/bf16), rows lane-padded with zeros
+  valid    [capacity]              bool — False = never-written, tombstoned, or freed slot
+  sq_norms [capacity]              f32  — precomputed squared norms (L2/cosine need them)
+
+Host state: slot -> uuid / metadata / (optional) original float32 values, uuid -> slot map,
+free-slot stack.  Writes scatter into free slots (true upsert overwrites in place, fixing
+the reference's mint-a-fresh-uuid4 "upsert", SURVEY.md §3.2); deletes clear the mask.
+Compaction repacks live rows and is strictly per-namespace (the reference's rebuild wipes
+every other namespace's index — SURVEY.md §3.4 — a bug we deliberately do not inherit).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import uuid as uuid_mod
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .vector import Vector
+
+
+class DeviceState(NamedTuple):
+    """Immutable snapshot of the searchable device arrays (functional => a search holding
+    this tuple is isolated from concurrent writers; single-writer/snapshot-reads,
+    SURVEY.md §7)."""
+
+    data: jax.Array      # [cap, dpad]
+    valid: jax.Array     # [cap] bool
+    sq_norms: jax.Array  # [cap] f32
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_rows(data, valid, sq_norms, slots, vals):
+    """Device-side upsert: scatter rows + norms, set liveness."""
+    vals32 = vals.astype(jnp.float32)
+    data = data.at[slots].set(vals32.astype(data.dtype))
+    sq_norms = sq_norms.at[slots].set(jnp.sum(vals32 * vals32, axis=-1))
+    valid = valid.at[slots].set(True)
+    return data, valid, sq_norms
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _clear_slots(valid, slots):
+    """Device-side delete: tombstone = mask clear (no data movement)."""
+    return valid.at[slots].set(False)
+
+
+def _pow2_pad(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class NamespaceStore:
+    """One namespace's vectors, device-resident and exactly searchable."""
+
+    def __init__(self, name: str, config: EngineConfig = DEFAULT_CONFIG, host_mirror: bool = True):
+        self.name = name
+        self.config = config
+        self.host_mirror = host_mirror
+        self._lock = threading.RLock()
+
+        self.dim: Optional[int] = None   # logical dim, fixed at first write
+        self.dpad: int = 0
+        self.capacity: int = 0
+
+        self._data: Optional[jax.Array] = None
+        self._valid: Optional[jax.Array] = None
+        self._sq_norms: Optional[jax.Array] = None
+
+        # slot-indexed host tables
+        self._slot_ids: List[Optional[uuid_mod.UUID]] = []
+        self._slot_meta: List[Optional[Dict[str, Any]]] = []
+        self._slot_values: List[Optional[np.ndarray]] = []   # host mirror (float32, unpadded)
+        self._id_to_slot: Dict[uuid_mod.UUID, int] = {}
+        self._free: List[int] = []
+        self._high_water = 0          # slots ever used (never reused slots beyond this)
+        self._tombstones = 0          # deletes since last compaction
+        self.version = 0              # bumped on every mutation (filter-mask cache key)
+
+    # ------------------------------------------------------------------ properties
+
+    @property
+    def live_count(self) -> int:
+        return len(self._id_to_slot)
+
+    @property
+    def nbytes(self) -> int:
+        """Exact device-array byte accounting (replaces the reference's sys.getsizeof walk,
+        storage_engine_in_memory.py:22-30)."""
+        if self._data is None:
+            return 0
+        itemsize = 2 if self.config.dtype == "bfloat16" else 4
+        return self.capacity * self.dpad * itemsize + self.capacity * (1 + 4)
+
+    @property
+    def ids(self) -> List[uuid_mod.UUID]:
+        return list(self._id_to_slot.keys())
+
+    def device_state(self) -> DeviceState:
+        if self._data is None:
+            raise ValueError(f"namespace {self.name!r} is empty")
+        return DeviceState(self._data, self._valid, self._sq_norms)
+
+    # ------------------------------------------------------------------ allocation
+
+    def _ensure_dim(self, dim: int) -> None:
+        if self.dim is None:
+            self.dim = dim
+            self.dpad = self.config.pad_dim(dim)
+        elif dim != self.dim:
+            raise ValueError(
+                f"dimension mismatch in namespace {self.name!r}: store is {self.dim}-d, got {dim}-d"
+            )
+
+    def _ensure_capacity(self, extra: int) -> None:
+        needed = self._high_water - len(self._free) + extra
+        # account for free-list reuse: new slots required beyond free list
+        new_slots = max(0, extra - len(self._free))
+        needed = self._high_water + new_slots
+        if needed <= self.capacity and self._data is not None:
+            return
+        new_cap = self.config.round_capacity(needed)
+        if new_cap > self.config.max_capacity:
+            raise MemoryError(
+                f"namespace {self.name!r} would exceed max_capacity={self.config.max_capacity}"
+            )
+        dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+        if self._data is None:
+            self._data = jnp.zeros((new_cap, self.dpad), dtype)
+            self._valid = jnp.zeros((new_cap,), jnp.bool_)
+            self._sq_norms = jnp.zeros((new_cap,), jnp.float32)
+        else:
+            grow = new_cap - self.capacity
+            self._data = jnp.pad(self._data, ((0, grow), (0, 0)))
+            self._valid = jnp.pad(self._valid, (0, grow))
+            self._sq_norms = jnp.pad(self._sq_norms, (0, grow))
+        self.capacity = new_cap
+        self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
+        self._slot_meta.extend([None] * (new_cap - len(self._slot_meta)))
+        self._slot_values.extend([None] * (new_cap - len(self._slot_values)))
+
+    # ------------------------------------------------------------------ mutation
+
+    def upsert(self, vectors: Sequence[Vector]) -> None:
+        """Insert or overwrite-by-id a batch of vectors (one device scatter)."""
+        if not vectors:
+            return
+        with self._lock:
+            self._ensure_dim(vectors[0].dim)
+            for v in vectors:
+                if v.dim != self.dim:
+                    raise ValueError(
+                        f"dimension mismatch in namespace {self.name!r}: store is "
+                        f"{self.dim}-d, got {v.dim}-d"
+                    )
+            fresh = sum(1 for v in vectors if v.id not in self._id_to_slot)
+            self._ensure_capacity(fresh)
+
+            slots = np.empty(len(vectors), np.int32)
+            for i, v in enumerate(vectors):
+                slot = self._id_to_slot.get(v.id)
+                if slot is None:
+                    if self._free:
+                        slot = self._free.pop()
+                    else:
+                        slot = self._high_water
+                        self._high_water += 1
+                    self._id_to_slot[v.id] = slot
+                slots[i] = slot
+                self._slot_ids[slot] = v.id
+                self._slot_meta[slot] = v.metadata
+                self._slot_values[slot] = v.values if self.host_mirror else None
+
+            vals = np.zeros((len(vectors), self.dpad), np.float32)
+            for i, v in enumerate(vectors):
+                vals[i, : self.dim] = v.values
+
+            # Bucket the scatter width to powers of two (pad by repeating row 0 — the
+            # duplicate scatter rewrites identical data, so it is idempotent) to bound
+            # the number of compiled scatter programs.
+            n = len(vectors)
+            nb = _pow2_pad(n)
+            if nb != n:
+                slots = np.concatenate([slots, np.full(nb - n, slots[0], np.int32)])
+                vals = np.concatenate([vals, np.broadcast_to(vals[0], (nb - n, self.dpad))])
+
+            self._data, self._valid, self._sq_norms = _scatter_rows(
+                self._data, self._valid, self._sq_norms, jnp.asarray(slots), jnp.asarray(vals)
+            )
+            self.version += 1
+
+    def delete(self, ids: Sequence[uuid_mod.UUID]) -> List[uuid_mod.UUID]:
+        """Tombstone-delete; returns the ids actually removed (reference semantics:
+        query_processor.py:51-62 returns only ids present in storage)."""
+        with self._lock:
+            slots, removed = [], []
+            for vid in ids:
+                slot = self._id_to_slot.pop(vid, None)
+                if slot is None:
+                    continue
+                slots.append(slot)
+                removed.append(vid)
+                self._slot_ids[slot] = None
+                self._slot_meta[slot] = None
+                self._slot_values[slot] = None
+                self._free.append(slot)
+                self._tombstones += 1
+            if not slots:
+                return []
+            arr = np.asarray(slots, np.int32)
+            nb = _pow2_pad(len(arr))
+            if nb != len(arr):
+                arr = np.concatenate([arr, np.full(nb - len(arr), arr[0], np.int32)])
+            self._valid = _clear_slots(self._valid, jnp.asarray(arr))
+            self.version += 1
+
+            if self.rebuild_required():
+                self.compact()
+            return removed
+
+    def rebuild_required(self) -> bool:
+        """Tombstone-ratio trigger, mirroring the reference's rebuild_threshold semantics
+        (index.py:84-89) but evaluated against slots ever used."""
+        if self._high_water == 0:
+            return False
+        return self._tombstones / self._high_water >= self.config.rebuild_threshold
+
+    def compact(self) -> None:
+        """Repack live rows to the front and shrink capacity.  Per-namespace only."""
+        with self._lock:
+            live = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
+            if self._data is not None and live:
+                old_slots = np.asarray([s for _, s in live], np.int32)
+                # gather live rows on device, rebuild tables host-side
+                data_live = np.asarray(jax.device_get(self._data[old_slots]), np.float32)
+                new_ids = [vid for vid, _ in live]
+                new_meta = [self._slot_meta[s] for _, s in live]
+                new_vals = [self._slot_values[s] for _, s in live]
+            else:
+                data_live, new_ids, new_meta, new_vals = None, [], [], []
+
+            n = len(new_ids)
+            self._id_to_slot = {vid: i for i, vid in enumerate(new_ids)}
+            self._free = []
+            self._high_water = n
+            self._tombstones = 0
+            self.version += 1
+
+            if self.dim is None:
+                return
+            new_cap = self.config.round_capacity(max(n, 1))
+            dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+            buf = np.zeros((new_cap, self.dpad), np.float32)
+            if n:
+                buf[:n] = data_live
+            self._data = jnp.asarray(buf, dtype)
+            valid = np.zeros((new_cap,), bool)
+            valid[:n] = True
+            self._valid = jnp.asarray(valid)
+            self._sq_norms = jnp.asarray((buf.astype(np.float64) ** 2).sum(-1).astype(np.float32))
+            self.capacity = new_cap
+            self._slot_ids = new_ids + [None] * (new_cap - n)
+            self._slot_meta = new_meta + [None] * (new_cap - n)
+            self._slot_values = new_vals + [None] * (new_cap - n)
+
+    # ------------------------------------------------------------------ reads
+
+    def contains(self, vid: uuid_mod.UUID) -> bool:
+        return vid in self._id_to_slot
+
+    def get(self, vid: uuid_mod.UUID) -> Optional[Vector]:
+        slot = self._id_to_slot.get(vid)
+        if slot is None:
+            return None
+        return self._vector_at(slot, vid)
+
+    def _vector_at(self, slot: int, vid: uuid_mod.UUID) -> Vector:
+        vals = self._slot_values[slot]
+        if vals is None:  # host mirror disabled: fetch the device row
+            row = np.asarray(jax.device_get(self._data[slot]), np.float32)[: self.dim]
+            vals = row
+        return Vector(vals, self._slot_meta[slot] or {}, id=vid)
+
+    def slot_to_id(self, slot: int) -> Optional[uuid_mod.UUID]:
+        if 0 <= slot < len(self._slot_ids):
+            return self._slot_ids[slot]
+        return None
+
+    def slot_metadata(self, slot: int) -> Optional[Dict[str, Any]]:
+        if 0 <= slot < len(self._slot_meta):
+            return self._slot_meta[slot]
+        return None
+
+    def all_vectors(self) -> List[Vector]:
+        with self._lock:
+            return [self._vector_at(s, vid) for vid, s in self._id_to_slot.items()]
+
+    def iter_slots(self) -> List[Tuple[int, uuid_mod.UUID, Optional[Dict[str, Any]]]]:
+        """(slot, id, metadata) for every live row — filter compilation walks this."""
+        return [(s, vid, self._slot_meta[s]) for vid, s in self._id_to_slot.items()]
+
+    # ------------------------------------------------------------------ persistence
+
+    def snapshot_arrays(self) -> Dict[str, Any]:
+        """Host-side snapshot for checkpointing (device->host transfer of the padded
+        matrix + id table + mask — SURVEY.md §5.4)."""
+        with self._lock:
+            live = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
+            slots = np.asarray([s for _, s in live], np.int32)
+            if self._data is not None and len(slots):
+                rows = np.asarray(jax.device_get(self._data[slots]), np.float32)[:, : self.dim]
+            else:
+                rows = np.zeros((0, self.dim or 0), np.float32)
+            return {
+                "name": self.name,
+                "dim": self.dim,
+                "ids": [str(vid) for vid, _ in live],
+                "values": rows,
+                "metadata": [self._slot_meta[s] for _, s in live],
+            }
+
+    @classmethod
+    def from_snapshot(
+        cls, snap: Dict[str, Any], config: EngineConfig = DEFAULT_CONFIG, host_mirror: bool = True
+    ) -> "NamespaceStore":
+        ns = cls(snap["name"], config, host_mirror)
+        vecs = [
+            Vector(snap["values"][i], snap["metadata"][i] or {}, id=uuid_mod.UUID(snap["ids"][i]))
+            for i in range(len(snap["ids"]))
+        ]
+        if vecs:
+            ns.upsert(vecs)
+        elif snap.get("dim"):
+            ns._ensure_dim(int(snap["dim"]))
+        return ns

@@ -1,0 +1,234 @@
+"""Query-processor component tests.
+
+Ports the reference suite's semantics (reference tests/test_query_processor.py — ranking
+against a numpy oracle, namespace isolation, delete-through-the-stack, top_k clamping;
+SURVEY.md §4) and extends to the widened capability surface: true upsert, range /
+similarity / metadata / hybrid queries, per-metric correctness, compaction isolation,
+statistics, explain, and snapshot persistence.
+"""
+
+import uuid
+
+import numpy as np
+import pytest
+
+from mlvectordb_tpu import QueryProcessor, VectorDTO
+from mlvectordb_tpu.config import HIGHER_IS_BETTER
+
+
+@pytest.fixture
+def qp(small_config):
+    return QueryProcessor(config=small_config)
+
+
+def dto(vals, meta=None, vid=None):
+    return VectorDTO(values=vals, metadata=meta, id=vid)
+
+
+def test_insert_lands_in_storage_with_metadata(qp):
+    v = qp.insert(dto([1.0, 2.0, 3.0], {"k": "v"}), "ns")
+    got = qp.storage.read(v.id, "ns")
+    assert got is not None
+    np.testing.assert_array_equal(got.values, np.asarray([1.0, 2.0, 3.0], np.float32))
+    assert got.metadata == {"k": "v"}
+
+
+def test_ranking_matches_numpy_cosine_oracle(qp, rng):
+    # the reference's flagship test (test_query_processor.py:52-67), kept approx-equal
+    np.random.seed(42)
+    vecs = [dto(rng.standard_normal(10).astype(np.float32)) for _ in range(100)]
+    inserted = qp.upsert_many(vecs, "ns")
+    q = rng.standard_normal(10).astype(np.float32)
+
+    res = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="cosine")
+    db = np.stack([v.values for v in inserted])
+    sims = db @ q / (np.linalg.norm(db, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-sims)[:5]
+    expected = [(inserted[i].id, sims[i]) for i in order]
+
+    assert len(res) == 5
+    for r, (eid, escore) in zip(res, expected):
+        assert r["id"] == eid
+        assert r["score"] == pytest.approx(float(escore), rel=1e-4)
+    # scores sorted best-first (cosine: higher is better)
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "euclidean", "dot"])
+def test_metric_actually_selects_distance(qp, rng, oracle, metric):
+    """Unlike the reference — whose metric arg only flips a sign convention while the
+    hnswlib space stays frozen (SURVEY.md §3.3) — metric here selects the real distance."""
+    from mlvectordb_tpu.config import canonical_metric
+
+    m = canonical_metric(metric)
+    vecs = [dto(rng.standard_normal(16).astype(np.float32)) for _ in range(50)]
+    inserted = qp.upsert_many(vecs, "ns")
+    q = rng.standard_normal(16).astype(np.float32)
+    res = qp.find_similar(dto(q), top_k=7, namespace="ns", metric=metric)
+
+    db = np.stack([v.values for v in inserted])
+    o_dist, o_idx = oracle(q[None], db, 7, m)
+    expected_ids = [inserted[i].id for i in o_idx[0]]
+    assert [r["id"] for r in res] == expected_ids
+    for r, d in zip(res, o_dist[0]):
+        want = 1.0 - d if HIGHER_IS_BETTER[m] else d
+        assert r["score"] == pytest.approx(float(want), rel=2e-3, abs=2e-3)
+
+
+def test_namespace_isolation_through_stack(qp, rng):
+    a = qp.insert(dto([1.0, 0.0]), "a")
+    qp.insert(dto([1.0, 0.0]), "b")
+    res = qp.find_similar(dto([1.0, 0.0]), top_k=10, namespace="a", metric="l2")
+    assert [r["id"] for r in res] == [a.id]
+
+
+def test_missing_namespace_returns_empty(qp):
+    assert qp.find_similar(dto([1.0, 2.0]), namespace="nope") == []
+
+
+def test_delete_removes_from_storage_and_search(qp, rng):
+    vs = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(20)], "ns")
+    victim = vs[3]
+    removed = qp.delete([victim.id], "ns")
+    assert removed == [victim.id]
+    assert qp.storage.read(victim.id, "ns") is None
+    res = qp.find_similar(dto(victim.values), top_k=20, namespace="ns")
+    assert victim.id not in [r["id"] for r in res]
+
+
+def test_delete_missing_ids_returns_only_removed(qp):
+    v = qp.insert(dto([1.0]), "ns")
+    ghost = uuid.uuid4()
+    assert qp.delete([ghost, v.id], "ns") == [v.id]
+
+
+def test_topk_clamped_to_corpus(qp, rng):
+    qp.upsert_many([dto(rng.standard_normal(4).astype(np.float32)) for _ in range(5)], "ns")
+    res = qp.find_similar(dto(rng.standard_normal(4).astype(np.float32)), top_k=50, namespace="ns")
+    assert len(res) == 5
+    # best-first for l2 default: ascending distance
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores)
+
+
+def test_uuid_results_on_larger_corpus(qp, rng):
+    qp.upsert_many([dto(rng.standard_normal(10).astype(np.float32)) for _ in range(100)], "ns")
+    res = qp.find_similar(dto(rng.standard_normal(10).astype(np.float32)), top_k=5, namespace="ns")
+    assert len(res) == 5
+    for r in res:
+        assert isinstance(r["id"], uuid.UUID)
+        assert isinstance(r["score"], float)
+        assert r["values"].shape == (10,)
+
+
+def test_true_upsert_overwrites_and_search_sees_new_values(qp):
+    vid = uuid.uuid4()
+    qp.upsert_many([dto([1.0, 0.0, 0.0], {"v": 1}, vid)], "ns")
+    qp.upsert_many([dto([0.0, 0.0, 1.0], {"v": 2}, vid)], "ns")
+    assert qp.get_namespace_count("ns") == 1
+    res = qp.find_similar(dto([0.0, 0.0, 1.0]), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == vid
+    assert res[0]["score"] == pytest.approx(0.0, abs=1e-6)
+    assert res[0]["metadata"] == {"v": 2}
+
+
+def test_batched_search_matches_single(qp, rng):
+    qp.upsert_many([dto(rng.standard_normal(12).astype(np.float32)) for _ in range(64)], "ns")
+    qs = [dto(rng.standard_normal(12).astype(np.float32)) for _ in range(9)]
+    batched = qp.find_similar_batch(qs, top_k=4, namespace="ns", metric="cosine")
+    for q, b in zip(qs, batched):
+        single = qp.find_similar(q, top_k=4, namespace="ns", metric="cosine")
+        assert [r["id"] for r in single] == [r["id"] for r in b]
+
+
+def test_range_search_l2(qp):
+    qp.upsert_many([dto([float(i), 0.0]) for i in range(10)], "ns")
+    hits = qp.range_search(dto([0.0, 0.0]), radius=4.5, namespace="ns", metric="l2")
+    # squared distances: 0,1,4 <= 4.5
+    assert len(hits) == 3
+    assert [h["score"] for h in hits] == sorted(h["score"] for h in hits)
+
+
+def test_similarity_threshold_search(qp):
+    qp.upsert_many([dto([1.0, 0.0]), dto([0.0, 1.0]), dto([0.7071, 0.7071])], "ns")
+    hits = qp.similarity_search(dto([1.0, 0.0]), threshold=0.5, namespace="ns")
+    assert len(hits) == 2  # itself (sim 1.0) and the 45-degree vector (~0.707)
+    assert all(h["score"] >= 0.5 for h in hits)
+
+
+def test_metadata_filtered_hybrid_search(qp, rng):
+    red, blue = [], []
+    for i in range(30):
+        color = "red" if i % 2 == 0 else "blue"
+        v = qp.insert(dto(rng.standard_normal(8).astype(np.float32), {"color": color, "i": i}), "ns")
+        (red if color == "red" else blue).append(v)
+    q = dto(rng.standard_normal(8).astype(np.float32))
+    res = qp.find_similar(q, top_k=30, namespace="ns", filter={"color": "red"})
+    assert len(res) == 15
+    assert {r["id"] for r in res} == {v.id for v in red}
+    res = qp.find_similar(q, top_k=5, namespace="ns", filter={"i": {"$lt": 4}})
+    assert {r["id"] for r in res} <= {v.id for v in red + blue if v.metadata["i"] < 4}
+    assert len(res) == 4
+
+
+def test_query_by_metadata_endpoint_shape(qp):
+    v = qp.insert(dto([1.0], {"tag": "x"}), "ns")
+    res = qp.query_by_metadata({"tag": "x"}, "ns")
+    assert [r["id"] for r in res] == [v.id]
+    assert res[0]["score"] == 0.0
+
+
+def test_compaction_is_per_namespace(qp, rng, small_config):
+    """The reference's rebuild wipes other namespaces' indexes (SURVEY.md §3.4).
+    Deleting enough to trigger compaction in 'a' must leave 'b' searchable."""
+    a = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(40)], "a")
+    b = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(40)], "b")
+    # delete 30/40 in a -> tombstone ratio >= rebuild_threshold -> compaction
+    qp.delete([v.id for v in a[:30]], "a")
+    ns_a = qp.storage.namespace("a")
+    assert ns_a._tombstones == 0  # compaction ran and reset the counter
+    res_b = qp.find_similar(dto(b[0].values), top_k=1, namespace="b", metric="l2")
+    assert res_b[0]["id"] == b[0].id
+    res_a = qp.find_similar(dto(a[35].values), top_k=1, namespace="a", metric="l2")
+    assert res_a[0]["id"] == a[35].id
+
+
+def test_explain_and_statistics(qp, rng):
+    qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(10)], "ns")
+    plan = qp.explain_query(dto(np.zeros(8, np.float32)), top_k=3, namespace="ns")
+    assert plan["exact"] is True and plan["expected_recall"] == 1.0
+    assert plan["k_effective"] == 3 and plan["live_vectors"] == 10
+    qp.find_similar(dto(rng.standard_normal(8).astype(np.float32)), top_k=3, namespace="ns")
+    qp.range_search(dto(rng.standard_normal(8).astype(np.float32)), 1.0, "ns")
+    stats = qp.get_statistics()
+    assert stats["total_queries"] == 2
+    assert stats["queries_by_type"] == {"knn": 1, "range": 1}
+
+
+def test_snapshot_roundtrip(qp, rng, tmp_path, small_config):
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(8).astype(np.float32), {"i": i}) for i in range(25)], "ns"
+    )
+    qp.insert(dto([1.0, 2.0], {"other": True}), "ns2")
+    qp.save(str(tmp_path / "snap"))
+
+    qp2 = QueryProcessor.load(str(tmp_path / "snap"), small_config)
+    assert sorted(qp2.list_namespaces()) == ["ns", "ns2"]
+    assert qp2.get_namespace_count("ns") == 25
+    got = qp2.storage.read(vs[7].id, "ns")
+    np.testing.assert_array_equal(got.values, vs[7].values)
+    assert got.metadata == {"i": 7}
+    res = qp2.find_similar(dto(vs[3].values), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[3].id
+
+
+def test_rest_helper_surface(qp):
+    v = qp.insert(dto([1.0, 2.0], {"m": 1}), "ns")
+    assert qp.list_namespaces() == ["ns"]
+    assert qp.get_namespace_count("ns") == 1
+    assert qp.get_namespace_count("missing") == 0
+    vecs = qp.get_namespace_vectors("ns")
+    assert [x.id for x in vecs] == [v.id]
+    info = qp.get_storage_info()
+    assert info["total_vectors"] == 1
