@@ -1,0 +1,79 @@
+"""Server CLI: composition root + argparse flags.
+
+Parity with the reference launcher (reference: src/mlvectordb/api/server.py:15-72 —
+--host 127.0.0.1, --port 8000, --reload, --log-level {debug,info,warning,error}; wires the
+default stack and runs the HTTP server).  Extended with engine flags (storage dtype,
+default metric, snapshot autoload) since the engine is configurable (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from ..config import EngineConfig, canonical_metric
+from ..engine.query_processor import QueryProcessor
+from .rest_api import RestAPI
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mlvectordb-tpu-server", description="TPU-native vector DB REST server"
+    )
+    p.add_argument("--host", default="127.0.0.1", help="Bind address (default: 127.0.0.1)")
+    p.add_argument("--port", type=int, default=8000, help="Port (default: 8000)")
+    p.add_argument(
+        "--reload",
+        action="store_true",
+        help="Accepted for CLI parity with the reference; hot reload is not supported",
+    )
+    p.add_argument(
+        "--log-level",
+        default="info",
+        choices=["debug", "info", "warning", "error"],
+        help="Log level (default: info)",
+    )
+    p.add_argument("--no-file-logging", action="store_true", help="Disable vector_db_api.log")
+    p.add_argument(
+        "--dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="Device storage dtype (bfloat16 halves HBM per vector)",
+    )
+    p.add_argument("--metric", default="l2", help="Default distance metric (l2/ip/cosine)")
+    p.add_argument("--db-tile", type=int, default=8192, help="Database-axis kernel tile size")
+    p.add_argument("--snapshot", default=None, help="Snapshot directory to load on startup")
+    p.add_argument("--no-pallas", action="store_true", help="Force the pure-XLA backend")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.reload:
+        logging.getLogger("vector_db_api").warning(
+            "--reload accepted for parity but ignored (no hot reload)"
+        )
+
+    config = EngineConfig(
+        dtype=args.dtype,
+        default_metric=canonical_metric(args.metric),
+        db_tile=args.db_tile,
+        use_pallas=not args.no_pallas,
+    )
+    if args.snapshot and os.path.isdir(args.snapshot):
+        qp = QueryProcessor.load(args.snapshot, config)
+    else:
+        qp = QueryProcessor(config=config)
+
+    api = RestAPI(
+        query_processor=qp,
+        title="MLVectorDB-TPU API",
+        enable_file_logging=not args.no_file_logging,
+        log_level=args.log_level.upper(),
+    )
+    api.run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
