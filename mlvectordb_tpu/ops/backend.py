@@ -1,7 +1,11 @@
 """Backend dispatch: fused Pallas kernel on TPU, pure-XLA scan elsewhere.
 
 Both backends share one signature and produce identical (exact) results:
-    backend(q, data, valid, sq_norms, *, k, metric, db_tile) -> (dist [B,k], idx [B,k])
+    backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix) -> (dist, idx)
+
+``live_prefix`` is a host-known hint that rows [0, live_prefix) are exactly the live rows
+(no tombstones; no filter active).  The Pallas fast path uses it to skip all mask traffic;
+the scan backend ignores it (``valid`` is authoritative there).
 """
 
 from __future__ import annotations
@@ -12,6 +16,13 @@ from ..config import EngineConfig
 from .topk import exact_knn
 
 _warned = False
+
+
+def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None):
+    return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
+
+
+_scan_backend.__name__ = "exact_knn_scan"
 
 
 def knn_backend(config: EngineConfig):
@@ -29,4 +40,4 @@ def knn_backend(config: EngineConfig):
                     "pallas kernel unavailable; falling back to XLA scan backend"
                 )
                 _warned = True
-    return exact_knn
+    return _scan_backend
