@@ -138,17 +138,23 @@ class QueryProcessor:
         q_pad = np.zeros((Bb, ns.dpad), np.float32)
         q_pad[:B, : ns.dim] = q_np
 
-        # rows [0, high_water) are exactly the live rows iff no slot below the high-water
-        # mark is dead => the TPU backend can skip all mask traffic (fast kernel)
-        live_prefix = None
-        if filter is None and ns.live_count == ns._high_water:
-            live_prefix = ns._high_water
+        if hasattr(ns, "sharded_search"):  # distributed namespace: cross-shard reduction
+            dist, idx = ns.sharded_search(
+                jnp.asarray(q_pad), kb, metric,
+                valid_override=None if filter is None else valid,
+            )
+        else:
+            # rows [0, high_water) are exactly the live rows iff no slot below the
+            # high-water mark is dead => the TPU backend can skip all mask traffic
+            live_prefix = None
+            if filter is None and ns.live_count == ns._high_water:
+                live_prefix = ns._high_water
 
-        backend = knn_backend(self.config)
-        dist, idx = backend(
-            jnp.asarray(q_pad), state.data, valid, state.sq_norms,
-            k=kb, metric=metric, db_tile=self.config.db_tile, live_prefix=live_prefix,
-        )
+            backend = knn_backend(self.config)
+            dist, idx = backend(
+                jnp.asarray(q_pad), state.data, valid, state.sq_norms,
+                k=kb, metric=metric, db_tile=self.config.db_tile, live_prefix=live_prefix,
+            )
         dist = np.asarray(dist)[:B, :k_eff]
         idx = np.asarray(idx)[:B, :k_eff]
         return dist, idx, ns

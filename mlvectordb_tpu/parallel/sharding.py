@@ -1,0 +1,136 @@
+"""ShardingManager: database-sharded exact search across chips.
+
+Realizes the reference's README-only ShardingManager stub (shard_for_vector /
+shard_for_id / all_shards — SURVEY.md §0.1) as a real component:
+
+  * deterministic shard routing by uuid hash (writes land on the owning shard's slot
+    range; the scatter under jit routes device-to-device automatically),
+  * sharded search via ``shard_map``: every shard runs the same exact-kNN kernel on its
+    local slot range (the Pallas fused kernel on TPU), translates local slots to global
+    ids by adding its shard offset, then the [B, k] candidate lists are all-gathered over
+    the "shard" axis (ICI) and folded with merge_topk — the cross-chip reduction the
+    SURVEY's build plan calls for (§5.8).
+
+Query batches are simultaneously data-parallel over the "replica" axis: with mesh
+(R, S), a [B, D] query batch is split R ways, each slice searched against the full
+database (sharded S ways), so QPS scales with R and capacity with S.
+"""
+
+from __future__ import annotations
+
+import functools
+import uuid as uuid_mod
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.topk import exact_knn, merge_topk
+from .mesh import REPLICA_AXIS, SHARD_AXIS
+
+
+class ShardingManager:
+    """Owns the mesh + routing functions + the sharded search computation."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n_replicas = mesh.shape[REPLICA_AXIS]
+        self.n_shards = mesh.shape[SHARD_AXIS]
+
+    # ------------------------------------------------------------------ routing
+    # (the reference stub's surface: shard_for_vector / shard_for_id / all_shards)
+
+    def shard_for_id(self, vector_id: uuid_mod.UUID) -> int:
+        """Deterministic owner shard of an id (stable across processes/restarts)."""
+        return vector_id.int % self.n_shards
+
+    def shard_for_vector(self, vector) -> int:
+        return self.shard_for_id(vector.id)
+
+    def all_shards(self) -> List[int]:
+        return list(range(self.n_shards))
+
+    # ------------------------------------------------------------------ placement
+
+    def db_sharding(self) -> NamedSharding:
+        """Database arrays: rows split over 'shard', replicated over 'replica'."""
+        return NamedSharding(self.mesh, P(SHARD_AXIS))
+
+    def db_sharding_2d(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(SHARD_AXIS, None))
+
+    def query_sharding(self) -> NamedSharding:
+        """Query batches: split over 'replica', replicated over 'shard'."""
+        return NamedSharding(self.mesh, P(REPLICA_AXIS, None))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def place_database(self, data, valid, sq_norms):
+        return (
+            jax.device_put(data, self.db_sharding_2d()),
+            jax.device_put(valid, self.db_sharding()),
+            jax.device_put(sq_norms, self.db_sharding()),
+        )
+
+    # ------------------------------------------------------------------ search
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "k", "metric", "db_tile")
+    )
+    def sharded_knn(self, q, data, valid, sq_norms, *, k, metric, db_tile=8192):
+        """Exact kNN over the sharded database.
+
+        q [B, D] (replica-sharded), data [cap, D] / valid [cap] / sq_norms [cap]
+        (shard-sharded).  Returns (dist [B, k], idx [B, k]) with GLOBAL slot indices,
+        replica-sharded like q.
+        """
+        cap = data.shape[0]
+        shard_rows = cap // self.n_shards
+
+        def local(q_loc, data_loc, valid_loc, sqn_loc):
+            kk = min(k, shard_rows)
+            d, i = exact_knn(
+                q_loc, data_loc, valid_loc, sqn_loc,
+                k=kk, metric=metric, db_tile=min(db_tile, shard_rows),
+            )
+            # local slot -> global slot
+            i = i + jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * shard_rows
+            # cross-shard merge over ICI: all_gather candidates, fold with merge_topk
+            ds = jax.lax.all_gather(d, SHARD_AXIS)   # [S, Br, kk]
+            is_ = jax.lax.all_gather(i, SHARD_AXIS)  # [S, Br, kk]
+
+            def fold(carry, x):
+                cd, ci = carry
+                xd, xi = x
+                return merge_topk(cd, ci, xd, xi, k=kk), None
+
+            (bd, bi), _ = jax.lax.scan(fold, (ds[0], is_[0]), (ds[1:], is_[1:]))
+            if kk < k:  # pad to the requested k with masked slots
+                from ..ops.distances import MASKED
+
+                pad = k - kk
+                bd = jnp.pad(bd, ((0, 0), (0, pad)), constant_values=float(MASKED))
+                bi = jnp.pad(bi, ((0, 0), (0, pad)))
+            return bd, bi
+
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(REPLICA_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
+            check_vma=False,
+        )(q, data, valid, sq_norms)
+
+
+def merge_shard_results(
+    dists: List[jax.Array], idxs: List[jax.Array], k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Host-side fold of per-shard top-k lists (used by tests and the scatter-gather
+    coordinator path)."""
+    bd, bi = dists[0], idxs[0]
+    for d, i in zip(dists[1:], idxs[1:]):
+        bd, bi = merge_topk(bd, bi, d, i, k=k)
+    return bd, bi

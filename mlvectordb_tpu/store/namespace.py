@@ -128,19 +128,12 @@ class NamespaceStore:
                 f"dimension mismatch in namespace {self.name!r}: store is {self.dim}-d, got {dim}-d"
             )
 
-    def _ensure_capacity(self, extra: int) -> None:
-        needed = self._high_water - len(self._free) + extra
-        # account for free-list reuse: new slots required beyond free list
-        new_slots = max(0, extra - len(self._free))
-        needed = self._high_water + new_slots
-        if needed <= self.capacity and self._data is not None:
-            return
-        new_cap = self.config.round_capacity(needed)
-        if new_cap > self.config.max_capacity:
-            raise MemoryError(
-                f"namespace {self.name!r} would exceed max_capacity={self.config.max_capacity}"
-            )
-        dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+    def _storage_dtype(self):
+        return jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+
+    def _alloc_arrays(self, new_cap: int) -> None:
+        """Create or grow the device arrays to new_cap rows (hook for sharded variant)."""
+        dtype = self._storage_dtype()
         if self._data is None:
             self._data = jnp.zeros((new_cap, self.dpad), dtype)
             self._valid = jnp.zeros((new_cap,), jnp.bool_)
@@ -150,10 +143,36 @@ class NamespaceStore:
             self._data = jnp.pad(self._data, ((0, grow), (0, 0)))
             self._valid = jnp.pad(self._valid, (0, grow))
             self._sq_norms = jnp.pad(self._sq_norms, (0, grow))
-        self.capacity = new_cap
+
+    def _grow_host_tables(self, new_cap: int) -> None:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
         self._slot_meta.extend([None] * (new_cap - len(self._slot_meta)))
         self._slot_values.extend([None] * (new_cap - len(self._slot_values)))
+
+    def _alloc_slot(self, vid: uuid_mod.UUID) -> int:
+        """Pick a slot for a new id (hook: sharded variant routes by shard_for_id)."""
+        if self._free:
+            return self._free.pop()
+        slot = self._high_water
+        self._high_water += 1
+        return slot
+
+    def _free_slot(self, slot: int) -> None:
+        self._free.append(slot)
+
+    def _ensure_capacity(self, extra: int) -> None:
+        new_slots = max(0, extra - len(self._free))
+        needed = self._high_water + new_slots
+        if needed <= self.capacity and self._data is not None:
+            return
+        new_cap = self.config.round_capacity(needed)
+        if new_cap > self.config.max_capacity:
+            raise MemoryError(
+                f"namespace {self.name!r} would exceed max_capacity={self.config.max_capacity}"
+            )
+        self._alloc_arrays(new_cap)
+        self.capacity = new_cap
+        self._grow_host_tables(new_cap)
 
     # ------------------------------------------------------------------ mutation
 
@@ -176,11 +195,7 @@ class NamespaceStore:
             for i, v in enumerate(vectors):
                 slot = self._id_to_slot.get(v.id)
                 if slot is None:
-                    if self._free:
-                        slot = self._free.pop()
-                    else:
-                        slot = self._high_water
-                        self._high_water += 1
+                    slot = self._alloc_slot(v.id)
                     self._id_to_slot[v.id] = slot
                 slots[i] = slot
                 self._slot_ids[slot] = v.id
@@ -219,7 +234,7 @@ class NamespaceStore:
                 self._slot_ids[slot] = None
                 self._slot_meta[slot] = None
                 self._slot_values[slot] = None
-                self._free.append(slot)
+                self._free_slot(slot)
                 self._tombstones += 1
             if not slots:
                 return []

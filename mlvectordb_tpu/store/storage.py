@@ -22,11 +22,23 @@ from .vector import Vector
 
 
 class StorageEngine:
-    """Dict of NamespaceStores; all vector payloads live in device HBM."""
+    """Dict of NamespaceStores; all vector payloads live in device HBM.
 
-    def __init__(self, config: EngineConfig = DEFAULT_CONFIG, host_mirror: bool = True):
+    ``namespace_factory`` lets the distributed layer substitute ShardedNamespaceStore
+    (parallel/store.py) without the engine knowing the difference.
+    """
+
+    def __init__(
+        self,
+        config: EngineConfig = DEFAULT_CONFIG,
+        host_mirror: bool = True,
+        namespace_factory=None,
+    ):
         self.config = config
         self.host_mirror = host_mirror
+        self._factory = namespace_factory or (
+            lambda name: NamespaceStore(name, self.config, self.host_mirror)
+        )
         self._namespaces: Dict[str, NamespaceStore] = {}
         self._lock = threading.RLock()
 
@@ -38,7 +50,7 @@ class StorageEngine:
             with self._lock:
                 ns = self._namespaces.get(name)
                 if ns is None:
-                    ns = NamespaceStore(name, self.config, self.host_mirror)
+                    ns = self._factory(name)
                     self._namespaces[name] = ns
         return ns
 

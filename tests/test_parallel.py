@@ -1,0 +1,202 @@
+"""Distributed-layer tests on the host-simulated 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8 — the reference has no distributed
+tests to port because it has no distribution; SURVEY.md §2.2, §4)."""
+
+import uuid
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlvectordb_tpu import VectorDTO
+from mlvectordb_tpu.parallel import (
+    ReplicationManager,
+    ShardingManager,
+    build_mesh,
+    make_distributed_processor,
+)
+from mlvectordb_tpu.ops.topk import exact_knn
+
+
+def dto(vals, meta=None, vid=None):
+    return VectorDTO(values=vals, metadata=meta, id=vid)
+
+
+@pytest.fixture
+def mesh24():
+    return build_mesh(2, 4)
+
+
+def test_mesh_shapes():
+    m = build_mesh(2, 4)
+    assert m.shape == {"replica": 2, "shard": 4}
+    m = build_mesh(1)
+    assert m.shape == {"replica": 1, "shard": 8}
+    with pytest.raises(ValueError):
+        build_mesh(3)
+
+
+def test_shard_routing_deterministic(mesh24):
+    sm = ShardingManager(mesh24)
+    assert sm.all_shards() == [0, 1, 2, 3]
+    vid = uuid.uuid4()
+    assert sm.shard_for_id(vid) == sm.shard_for_id(vid)
+    assert 0 <= sm.shard_for_id(vid) < 4
+    # distribution sanity: 256 ids spread over all shards
+    counts = [0] * 4
+    for _ in range(256):
+        counts[sm.shard_for_id(uuid.uuid4())] += 1
+    assert all(c > 20 for c in counts)
+
+
+def test_sharded_knn_matches_single_device(mesh24, rng, oracle):
+    sm = ShardingManager(mesh24)
+    N, D, B, K = 1024, 64, 8, 5
+    db = rng.standard_normal((N, D), dtype=np.float32)
+    q = rng.standard_normal((B, D), dtype=np.float32)
+    sq = (db.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    valid = np.ones(N, bool)
+
+    data_s, valid_s, sq_s = sm.place_database(
+        jnp.asarray(db), jnp.asarray(valid), jnp.asarray(sq)
+    )
+    d, i = sm.sharded_knn(jnp.asarray(q), data_s, valid_s, sq_s, k=K, metric="l2", db_tile=256)
+
+    o_dist, o_idx = oracle(q, db, K, "l2")
+    np.testing.assert_allclose(np.asarray(d), o_dist, rtol=2e-4, atol=2e-4)
+    for b in range(B):
+        assert set(np.asarray(i)[b].tolist()) == set(o_idx[b].tolist())
+
+
+def test_sharded_knn_respects_tombstones(mesh24, rng):
+    sm = ShardingManager(mesh24)
+    N, D = 512, 32
+    db = rng.standard_normal((N, D), dtype=np.float32)
+    sq = (db ** 2).sum(-1)
+    q = db[:4] + 0.001
+    valid = np.ones(N, bool)
+    valid[0] = False
+    data_s, valid_s, sq_s = sm.place_database(
+        jnp.asarray(db), jnp.asarray(valid), jnp.asarray(sq)
+    )
+    d, i = sm.sharded_knn(jnp.asarray(q), data_s, valid_s, sq_s, k=3, metric="l2", db_tile=128)
+    assert 0 not in np.asarray(i)[0].tolist()
+
+
+def test_distributed_processor_end_to_end(rng, small_config):
+    qp = make_distributed_processor(2, 4, small_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(16).astype(np.float32), {"i": i}) for i in range(200)], "ns"
+    )
+    assert qp.get_namespace_count("ns") == 200
+
+    # exact-match search through the full sharded stack
+    res = qp.find_similar(dto(vs[42].values), top_k=3, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[42].id
+    assert res[0]["score"] == pytest.approx(0.0, abs=1e-5)
+
+    # cross-check against numpy oracle
+    q = rng.standard_normal(16).astype(np.float32)
+    res = qp.find_similar(dto(q), top_k=10, namespace="ns", metric="cosine")
+    db = np.stack([v.values for v in vs])
+    sims = db @ q / (np.linalg.norm(db, axis=1) * np.linalg.norm(q))
+    oracle_ids = {vs[i].id for i in np.argsort(-sims)[:10]}
+    assert {r["id"] for r in res} == oracle_ids
+
+    # delete flows through the sharded store
+    removed = qp.delete([vs[42].id], "ns")
+    assert removed == [vs[42].id]
+    res = qp.find_similar(dto(vs[42].values), top_k=3, namespace="ns", metric="l2")
+    assert vs[42].id not in [r["id"] for r in res]
+
+    # filtered (hybrid) search over shards
+    res = qp.find_similar(dto(q), top_k=50, namespace="ns", filter={"i": {"$lt": 20}})
+    assert len(res) == 20 or len(res) == 19  # 42 not in range; 0..19 minus any deleted
+    assert all(r["metadata"]["i"] < 20 for r in res)
+
+
+def test_distributed_upsert_overwrites_in_place(rng, small_config):
+    qp = make_distributed_processor(1, 8, small_config)
+    vid = uuid.uuid4()
+    qp.upsert_many([dto([1.0, 0.0, 0.0, 0.0], {"v": 1}, vid)], "ns")
+    qp.upsert_many([dto([0.0, 0.0, 0.0, 1.0], {"v": 2}, vid)], "ns")
+    assert qp.get_namespace_count("ns") == 1
+    res = qp.find_similar(dto([0.0, 0.0, 0.0, 1.0]), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == vid and res[0]["score"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_sharded_capacity_growth(rng, small_config):
+    qp = make_distributed_processor(1, 4, small_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(8).astype(np.float32)) for _ in range(50)], "ns"
+    )
+    ns = qp.storage.namespace("ns")
+    cap0 = ns.capacity
+    vs += qp.upsert_many(
+        [dto(rng.standard_normal(8).astype(np.float32)) for _ in range(500)], "ns"
+    )
+    assert ns.capacity > cap0
+    # data survives growth: every sampled vector still retrievable and searchable
+    for v in vs[::83]:
+        got = qp.storage.read(v.id, "ns")
+        np.testing.assert_array_equal(got.values, v.values)
+        res = qp.find_similar(dto(v.values), top_k=1, namespace="ns", metric="l2")
+        assert res[0]["id"] == v.id
+
+
+def test_sharded_compaction_preserves_search(rng, small_config):
+    qp = make_distributed_processor(1, 4, small_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(8).astype(np.float32)) for _ in range(100)], "ns"
+    )
+    qp.delete([v.id for v in vs[:60]], "ns")  # triggers per-shard compaction
+    ns = qp.storage.namespace("ns")
+    assert ns._tombstones == 0
+    res = qp.find_similar(dto(vs[80].values), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[80].id
+    assert qp.get_namespace_count("ns") == 40
+
+
+def test_replication_reconcile_consistent(mesh24, rng):
+    rm = ReplicationManager(mesh24)
+    sm = ShardingManager(mesh24)
+    assert rm.members() == [0, 1]
+    db = rng.standard_normal((256, 32), dtype=np.float32)
+    valid = np.ones(256, bool)
+    data_s, valid_s, _ = sm.place_database(
+        jnp.asarray(db), jnp.asarray(valid), jnp.asarray((db ** 2).sum(-1))
+    )
+    report = rm.reconcile(data_s, valid_s)
+    assert report["consistent"] is True
+    assert len(report["fingerprints"]) == 2
+    assert report["fingerprints"][0] == report["fingerprints"][1]
+
+
+def test_replication_detects_divergence(mesh24, rng):
+    """Forge per-device buffers that differ between replicas; reconcile must flag it."""
+    rm = ReplicationManager(mesh24)
+    N, D, S = 256, 32, 4
+    base = rng.standard_normal((N, D), dtype=np.float32)
+    corrupted = base.copy()
+    corrupted[0, 0] += 100.0  # replica 1's copy diverges
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec2d = NamedSharding(mesh24, P("shard", None))
+    spec1d = NamedSharding(mesh24, P("shard"))
+    per = N // S
+    bufs = []
+    for (r, s), dev in np.ndenumerate(np.array(mesh24.devices)):
+        src = base if r == 0 else corrupted
+        bufs.append(jax.device_put(src[s * per : (s + 1) * per], dev))
+    data = jax.make_array_from_single_device_arrays((N, D), spec2d, bufs)
+    vb = [
+        jax.device_put(np.ones(per, bool), dev)
+        for (r, s), dev in np.ndenumerate(np.array(mesh24.devices))
+    ]
+    valid = jax.make_array_from_single_device_arrays((N,), spec1d, vb)
+
+    report = rm.reconcile(data, valid)
+    assert report["consistent"] is False
+    assert report["divergent_replicas"] == [1]
