@@ -1,0 +1,122 @@
+"""Headline benchmark: exact kNN QPS/chip at recall@10 = 1.0 on SIFT-1M-shape data.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": x}
+vs_baseline = engine QPS / numpy-brute-force QPS on the same host (the reference
+publishes no numbers — BASELINE.md — so the measured numpy oracle is the baseline, as
+BASELINE.json specifies).  Diagnostics go to stderr.
+
+Workload (BASELINE.json config #2 shape): 2^20 x 128-d float32 vectors, single
+namespace, l2 kNN k=10, batched queries.  Recall is verified against the numpy oracle
+before timing; the run aborts (exit 1) if any query's neighbour set differs — exactness
+is a precondition of the headline number, not an aspiration.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def numpy_brute_qps(db: np.ndarray, queries: np.ndarray, k: int, iters: int = 3) -> float:
+    """The CPU baseline: full distance matrix + argpartition (what the reference's test
+    oracle does, industrial-strength numpy)."""
+    sq = (db ** 2).sum(-1)
+
+    def run(q):
+        d = sq[None, :] - 2.0 * (q @ db.T) + (q ** 2).sum(-1)[:, None]
+        idx = np.argpartition(d, k, axis=1)[:, :k]
+        row = np.take_along_axis(d, idx, axis=1)
+        order = np.argsort(row, axis=1)
+        return np.take_along_axis(idx, order, axis=1)
+
+    run(queries[:2])  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run(queries)
+    dt = (time.perf_counter() - t0) / iters
+    return len(queries) / dt
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.timing import device_seconds_per_call
+    from mlvectordb_tpu.ops.pallas_knn import exact_knn_pallas
+    from mlvectordb_tpu.ops.topk import exact_knn
+
+    N, D, K = 1 << 20, 128, 10
+    B_THROUGHPUT, B_LATENCY = 128, 8
+    rng = np.random.default_rng(42)
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"building {N}x{D} f32 database ...")
+    db_np = rng.standard_normal((N, D), dtype=np.float32)
+    q_np = rng.standard_normal((B_THROUGHPUT, D), dtype=np.float32)
+
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    valid = jnp.ones((N,), jnp.bool_)
+    q = jnp.asarray(q_np)
+
+    backend = exact_knn_pallas if jax.default_backend() == "tpu" else (
+        lambda *a, **kw: exact_knn(*a, **{k2: v for k2, v in kw.items() if k2 != "live_prefix"})
+    )
+
+    # ---- recall gate: engine vs numpy oracle must agree exactly -------------------
+    log("verifying recall@10 == 1.0 against numpy oracle ...")
+    d_eng, i_eng = backend(q, db, valid, sq, k=K, metric="l2", live_prefix=N)
+    i_eng = np.asarray(i_eng)
+    sq_np = (db_np ** 2).sum(-1)
+    d_or = sq_np[None, :] - 2.0 * (q_np @ db_np.T) + (q_np ** 2).sum(-1)[:, None]
+    i_or = np.argpartition(d_or, K, axis=1)[:, :K]
+    hits = sum(
+        len(set(i_eng[b].tolist()) & set(i_or[b].tolist())) for b in range(B_THROUGHPUT)
+    )
+    recall = hits / (B_THROUGHPUT * K)
+    log(f"recall@10 = {recall}")
+    if recall < 1.0:
+        print(json.dumps({"metric": "recall_failure", "value": recall, "unit": "recall",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    # ---- engine throughput (on-device, RTT-cancelled) -----------------------------
+    log("timing engine throughput ...")
+    t_batch = device_seconds_per_call(
+        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
+        [q, db, valid, sq], iters=12,
+    )
+    engine_qps = B_THROUGHPUT / t_batch
+    log(f"engine: {t_batch*1e3:.3f} ms / {B_THROUGHPUT} queries = {engine_qps:,.0f} QPS/chip")
+
+    q_small = jnp.asarray(q_np[:B_LATENCY])
+    t_lat = device_seconds_per_call(
+        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
+        [q_small, db, valid, sq], iters=12,
+    )
+    log(f"engine latency: {t_lat*1e3:.3f} ms per batch-{B_LATENCY} (p50-equivalent)")
+
+    # ---- numpy baseline -----------------------------------------------------------
+    log("timing numpy brute-force baseline ...")
+    base_qps = numpy_brute_qps(db_np, q_np[:16], K)
+    log(f"numpy baseline: {base_qps:,.1f} QPS")
+
+    print(json.dumps({
+        "metric": "SIFT1M-shape exact kNN k=10 f32 QPS/chip (recall@10=1.0)",
+        "value": round(engine_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(engine_qps / base_qps, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
