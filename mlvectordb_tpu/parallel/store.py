@@ -102,6 +102,7 @@ class ShardedNamespaceStore(NamespaceStore):
                 new_vals[new_slot] = self._slot_values[old_slot]
             self._id_to_slot = remap
             self._slot_ids, self._slot_meta, self._slot_values = new_ids, new_meta, new_vals
+            self._rebuild_meta_columns()  # slots moved: native metadata mirror is stale
             self._shard_free = [
                 [sh * per_shard + loc for loc in range(old, per_shard)]
                 + [sh * per_shard + (f - sh * old) for f in free]

@@ -92,6 +92,9 @@ class NamespaceStore:
         self._high_water = 0          # slots ever used (never reused slots beyond this)
         self._tombstones = 0          # deletes since last compaction
         self.version = 0              # bumped on every mutation (filter-mask cache key)
+        # native columnar metadata mirror (C++ filter evaluation); None until first use
+        self.meta_columns = None
+        self._meta_columns_tried = False
 
     # ------------------------------------------------------------------ properties
 
@@ -148,6 +151,21 @@ class NamespaceStore:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
         self._slot_meta.extend([None] * (new_cap - len(self._slot_meta)))
         self._slot_values.extend([None] * (new_cap - len(self._slot_values)))
+        if self.meta_columns is not None and new_cap > self.meta_columns.capacity:
+            self.meta_columns.resize(new_cap)
+
+    def _ensure_meta_columns(self):
+        """Lazily stand up the C++ columnar metadata mirror (None if no toolchain)."""
+        if self.meta_columns is None and not self._meta_columns_tried:
+            self._meta_columns_tried = True
+            try:
+                from ..native import MetaColumns, available
+
+                if available():
+                    self.meta_columns = MetaColumns(max(self.capacity, 1))
+            except Exception:  # pragma: no cover - native unavailable
+                self.meta_columns = None
+        return self.meta_columns
 
     def _alloc_slot(self, vid: uuid_mod.UUID) -> int:
         """Pick a slot for a new id (hook: sharded variant routes by shard_for_id)."""
@@ -202,6 +220,16 @@ class NamespaceStore:
                 self._slot_meta[slot] = v.metadata
                 self._slot_values[slot] = v.values if self.host_mirror else None
 
+            mc = self._ensure_meta_columns()
+            if mc is not None:
+                for i, v in enumerate(vectors):
+                    if not mc.set(int(slots[i]), v.metadata):
+                        # metadata not representable natively: drop the mirror entirely
+                        # (filters fall back to Python for this namespace)
+                        self.meta_columns = None
+                        mc = None
+                        break
+
             vals = np.zeros((len(vectors), self.dpad), np.float32)
             for i, v in enumerate(vectors):
                 vals[i, : self.dim] = v.values
@@ -234,6 +262,8 @@ class NamespaceStore:
                 self._slot_ids[slot] = None
                 self._slot_meta[slot] = None
                 self._slot_values[slot] = None
+                if self.meta_columns is not None:
+                    self.meta_columns.clear(slot)
                 self._free_slot(slot)
                 self._tombstones += 1
             if not slots:
@@ -293,6 +323,23 @@ class NamespaceStore:
             self._slot_ids = new_ids + [None] * (new_cap - n)
             self._slot_meta = new_meta + [None] * (new_cap - n)
             self._slot_values = new_vals + [None] * (new_cap - n)
+            self._rebuild_meta_columns()
+
+    def _rebuild_meta_columns(self) -> None:
+        """Recreate the native metadata mirror after slots moved (compaction/regrow)."""
+        if self.meta_columns is None:
+            return
+        try:
+            from ..native import MetaColumns
+
+            mc = MetaColumns(max(self.capacity, 1))
+            for vid, slot in self._id_to_slot.items():
+                if not mc.set(slot, self._slot_meta[slot]):
+                    self.meta_columns = None
+                    return
+            self.meta_columns = mc
+        except Exception:  # pragma: no cover
+            self.meta_columns = None
 
     # ------------------------------------------------------------------ reads
 

@@ -127,6 +127,21 @@ class StorageEngine:
         ns = self._namespaces.get(namespace)
         if ns is None:
             return []
+        mc = getattr(ns, "meta_columns", None)
+        if mc is not None:
+            try:
+                mask = mc.eval(filter, ns.capacity)
+            except (TypeError, ValueError):
+                mask = None
+            if mask is not None:
+                from ..filters import _validate_spec_ops
+
+                _validate_spec_ops(filter)
+                return [
+                    ns._vector_at(slot, vid)
+                    for slot, vid, _meta in ns.iter_slots()
+                    if mask[slot]
+                ]
         return [
             ns._vector_at(slot, vid)
             for slot, vid, meta in ns.iter_slots()
