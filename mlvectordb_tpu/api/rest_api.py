@@ -213,6 +213,10 @@ class RestAPI:
         # snapshots (persistence the reference README promises but lacks)
         r.add_post("/snapshot/save", self.snapshot_save)
         r.add_post("/snapshot/load", self.snapshot_load)
+        # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
+        r.add_get("/trace", self.get_trace)
+        r.add_post("/profile/start", self.profile_start)
+        r.add_post("/profile/stop", self.profile_stop)
         return app
 
     async def _parse(self, request: web.Request, model):
@@ -358,7 +362,43 @@ class RestAPI:
             return _error(f"Failed to get storage info: {e}", 500)
 
     async def health(self, request: web.Request) -> web.Response:
+        # plain: constant-time liveness (parity with reference rest_api.py:292-296);
+        # ?deep=1: real failure detection — device probe + store invariants
+        if request.query.get("deep") in ("1", "true", "yes"):
+            from ..utils.health import deep_health
+
+            report = await self._run(deep_health, self.query_processor)
+            return _json(report, 200 if report["status"] == "healthy" else 503)
         return _json({"status": "healthy", "version": __version__})
+
+    async def get_trace(self, request: web.Request) -> web.Response:
+        from ..utils.tracing import RECORDER
+
+        limit = int(request.query.get("limit", "100"))
+        return _json({"summary": RECORDER.summary(), "recent": RECORDER.recent(limit)})
+
+    async def profile_start(self, request: web.Request) -> web.Response:
+        from ..utils.tracing import PROFILER
+
+        try:
+            payload = await request.json()
+            log_dir = payload["log_dir"]
+        except Exception:
+            return _error("profile start requires JSON body with 'log_dir'", 422)
+        try:
+            await self._run(PROFILER.start, log_dir)
+            return _json({"status": "success", "message": f"tracing to {log_dir}"})
+        except RuntimeError as e:
+            return _error(str(e), 409)
+
+    async def profile_stop(self, request: web.Request) -> web.Response:
+        from ..utils.tracing import PROFILER
+
+        try:
+            log_dir = await self._run(PROFILER.stop)
+            return _json({"status": "success", "message": f"trace written to {log_dir}"})
+        except RuntimeError as e:
+            return _error(str(e), 409)
 
     async def set_log_level(self, request: web.Request) -> web.Response:
         level = request.query.get("level", "")

@@ -37,6 +37,7 @@ from ..ops.distances import MASKED
 from ..interfaces.vector import VectorDTO
 from ..store.storage import StorageEngine
 from ..store.vector import Vector
+from ..utils.tracing import trace_span
 from .filters import FilterMaskCache
 
 
@@ -94,7 +95,7 @@ class QueryProcessor:
     ) -> List[Vector]:
         """True upsert: DTOs carrying an id overwrite in place; id-less DTOs mint uuid4
         (fixing the reference's insert-only 'upsert', SURVEY.md §3.2)."""
-        with self._write_lock:
+        with self._write_lock, trace_span("upsert", namespace=namespace, count=len(vectors)):
             vs = [self._materialize(d) for d in vectors]
             self.storage.write_vectors(vs, namespace)
             return vs
@@ -102,7 +103,7 @@ class QueryProcessor:
     def delete(
         self, vector_ids: Iterable[uuid_mod.UUID], namespace: str = "default"
     ) -> List[uuid_mod.UUID]:
-        with self._write_lock:
+        with self._write_lock, trace_span("delete", namespace=namespace):
             return self.storage.delete_vectors(vector_ids, namespace)
 
     # ------------------------------------------------------------------ search core
@@ -128,7 +129,8 @@ class QueryProcessor:
 
         valid = state.valid
         if filter:
-            mask = self._filter_masks.mask_for(ns, filter)
+            with trace_span("filter_mask", namespace=namespace):
+                mask = self._filter_masks.mask_for(ns, filter)
             valid = jnp.logical_and(valid, jnp.asarray(mask))
 
         k_eff = min(k, ns.live_count)
@@ -139,10 +141,11 @@ class QueryProcessor:
         q_pad[:B, : ns.dim] = q_np
 
         if hasattr(ns, "sharded_search"):  # distributed namespace: cross-shard reduction
-            dist, idx = ns.sharded_search(
-                jnp.asarray(q_pad), kb, metric,
-                valid_override=None if filter is None else valid,
-            )
+            with trace_span("knn_sharded", namespace=namespace, k=kb, batch=Bb):
+                dist, idx = ns.sharded_search(
+                    jnp.asarray(q_pad), kb, metric,
+                    valid_override=None if filter is None else valid,
+                )
         else:
             # rows [0, high_water) are exactly the live rows iff no slot below the
             # high-water mark is dead => the TPU backend can skip all mask traffic
@@ -151,10 +154,11 @@ class QueryProcessor:
                 live_prefix = ns._high_water
 
             backend = knn_backend(self.config)
-            dist, idx = backend(
-                jnp.asarray(q_pad), state.data, valid, state.sq_norms,
-                k=kb, metric=metric, db_tile=self.config.db_tile, live_prefix=live_prefix,
-            )
+            with trace_span("knn_kernel", namespace=namespace, k=kb, batch=Bb):
+                dist, idx = backend(
+                    jnp.asarray(q_pad), state.data, valid, state.sq_norms,
+                    k=kb, metric=metric, db_tile=self.config.db_tile, live_prefix=live_prefix,
+                )
         dist = np.asarray(dist)[:B, :k_eff]
         idx = np.asarray(idx)[:B, :k_eff]
         return dist, idx, ns
@@ -192,7 +196,11 @@ class QueryProcessor:
             results: List[List[Dict[str, Any]]] = [[] for _ in queries]
         else:
             user = self._to_user_score(dist, m)
-            results = [self._hydrate_scored(user[i], dist[i], slots[i], ns) for i in range(len(queries))]
+            with trace_span("hydrate", namespace=namespace, batch=len(queries)):
+                results = [
+                    self._hydrate_scored(user[i], dist[i], slots[i], ns)
+                    for i in range(len(queries))
+                ]
         self.stats.record("knn" if not filter else "hybrid", (time.perf_counter() - t0) * 1e3)
         return results
 
