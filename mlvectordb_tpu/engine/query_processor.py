@@ -125,16 +125,37 @@ class QueryProcessor:
             raise ValueError(
                 f"query dim {q_np.shape[1]} != namespace {namespace!r} dim {ns.dim}"
             )
+
+        # Snapshot-read with RCU-style retry: the write path DONATES its device buffers
+        # (zero-copy scatter), which invalidates a snapshot a concurrent search may have
+        # just taken.  A search that loses that race sees "Array has been deleted" when
+        # materializing results — it simply re-snapshots and retries; the final attempt
+        # serializes against the writer via the namespace lock to guarantee progress.
+        attempts = 6
+        for attempt in range(attempts):
+            try:
+                if attempt == attempts - 1:
+                    with ns._lock:
+                        return self._search_snapshot(q_np, ns, namespace, k, metric, filter)
+                return self._search_snapshot(q_np, ns, namespace, k, metric, filter)
+            except RuntimeError as e:
+                if "deleted" not in str(e):
+                    raise
+        raise RuntimeError("unreachable")  # pragma: no cover
+
+    def _search_snapshot(self, q_np, ns, namespace, k, metric, filter):
         state = ns.device_state()  # snapshot: functional arrays isolate readers
 
         valid = state.valid
         if filter:
             with trace_span("filter_mask", namespace=namespace):
                 mask = self._filter_masks.mask_for(ns, filter)
+            if mask.shape[0] != state.valid.shape[0]:  # capacity changed mid-snapshot
+                raise RuntimeError("snapshot deleted (capacity changed)")
             valid = jnp.logical_and(valid, jnp.asarray(mask))
 
         k_eff = min(k, ns.live_count)
-        kb = min(self.config.bucket_k(k_eff), ns.capacity)
+        kb = min(self.config.bucket_k(k_eff), state.valid.shape[0])
         B = q_np.shape[0]
         Bb = self.config.bucket_batch(B)
         q_pad = np.zeros((Bb, ns.dpad), np.float32)

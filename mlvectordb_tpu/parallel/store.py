@@ -171,6 +171,7 @@ class ShardedNamespaceStore(NamespaceStore):
             )
             self._tombstones = 0
             self.version += 1
+            self._publish()
 
     # ------------------------------------------------------------------ search
 

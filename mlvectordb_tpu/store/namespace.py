@@ -82,6 +82,9 @@ class NamespaceStore:
         self._data: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
         self._sq_norms: Optional[jax.Array] = None
+        # atomically-published snapshot tuple: readers must never assemble a state from
+        # the individual attributes (a concurrent growth could interleave generations)
+        self._state: Optional[DeviceState] = None
 
         # slot-indexed host tables
         self._slot_ids: List[Optional[uuid_mod.UUID]] = []
@@ -116,9 +119,14 @@ class NamespaceStore:
         return list(self._id_to_slot.keys())
 
     def device_state(self) -> DeviceState:
-        if self._data is None:
+        state = self._state  # single attribute read = atomic under the GIL
+        if state is None:
             raise ValueError(f"namespace {self.name!r} is empty")
-        return DeviceState(self._data, self._valid, self._sq_norms)
+        return state
+
+    def _publish(self) -> None:
+        """Swap in a new consistent (data, valid, sq_norms) generation for readers."""
+        self._state = DeviceState(self._data, self._valid, self._sq_norms)
 
     # ------------------------------------------------------------------ allocation
 
@@ -247,6 +255,7 @@ class NamespaceStore:
                 self._data, self._valid, self._sq_norms, jnp.asarray(slots), jnp.asarray(vals)
             )
             self.version += 1
+            self._publish()
 
     def delete(self, ids: Sequence[uuid_mod.UUID]) -> List[uuid_mod.UUID]:
         """Tombstone-delete; returns the ids actually removed (reference semantics:
@@ -274,6 +283,7 @@ class NamespaceStore:
                 arr = np.concatenate([arr, np.full(nb - len(arr), arr[0], np.int32)])
             self._valid = _clear_slots(self._valid, jnp.asarray(arr))
             self.version += 1
+            self._publish()
 
             if self.rebuild_required():
                 self.compact()
@@ -324,6 +334,7 @@ class NamespaceStore:
             self._slot_meta = new_meta + [None] * (new_cap - n)
             self._slot_values = new_vals + [None] * (new_cap - n)
             self._rebuild_meta_columns()
+            self._publish()  # new generation visible only after everything is rebuilt
 
     def _rebuild_meta_columns(self) -> None:
         """Recreate the native metadata mirror after slots moved (compaction/regrow)."""
