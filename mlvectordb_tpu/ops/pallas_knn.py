@@ -34,8 +34,8 @@ Phase 2 (XLA, small tensors):
 
 Exactness: if a true top-k element lived in a window that selection dropped, then >= s
 selected windows each contain an element closer than it — contradiction with its rank
-(s >= k).  We select with margin s = 2k so phase-1 rounding (window-min matmul) can never
-demote a boundary window; tests assert set-equality with the f32 numpy oracle.
+(s >= k).  We select with margin s = min(2k, k+16) so phase-1 rounding (window-min matmul)
+can never demote a boundary window; tests assert set-equality with the f32 numpy oracle.
 
 Window layout: window w covers rows (w // W)*T + (w % W) + r*W for r < R1, where
 W = T/R1 lanes — strided within its tile because Mosaic reduces over sublane slices, not
@@ -199,12 +199,15 @@ def _select_and_rescan(q, qn_row, data, maskadd, hw, wmin1t, *, k, metric, db_ti
     """
     B = q.shape[0]
     W1 = wmin1t.shape[0]
-    s = min(2 * k, W1)  # selection margin (see module docstring)
+    # Selection margin: the exactness argument only needs s >= k (see module docstring);
+    # the extra 16 absorbs float rounding differences between phase-1 window mins and the
+    # HIGHEST-precision rescan for windows straddling the selection boundary.
+    s = min(min(2 * k, k + 16), W1)
 
     if W1 % R2 == 0 and W1 // R2 > 1:
         W2 = W1 // R2
         wmin2 = wmin1t.reshape(W2, R2, B).min(axis=1).T           # [B, W2] (small transpose)
-        s2 = min(2 * k, W2)
+        s2 = min(min(2 * k, k + 16), W2)
         _, w2i = jax.lax.top_k(-wmin2, s2)                        # [B, s2]
         l1_ids = (w2i[:, :, None] * R2 + jnp.arange(R2)[None, None, :]).reshape(B, s2 * R2)
         # vals[b, j] = wmin1t[l1_ids[b, j], b] — per-query scalar gather, [B, s2*R2]
