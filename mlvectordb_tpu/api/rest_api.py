@@ -128,16 +128,30 @@ class RestAPI:
         enable_file_logging: bool = False,
         log_level: str = "INFO",
         log_file: str = "vector_db_api.log",
+        batch_queries: bool = False,
+        batch_wait_us: int = 500,
     ):
         self.query_processor = query_processor
         self.title = title
         self.enable_file_logging = enable_file_logging
         self._setup_logging(log_level, log_file)
         self.logger = logging.getLogger("vector_db_api")
-        # engine calls are blocking (device compute + host bookkeeping); one worker keeps
-        # the single-writer discipline while the event loop stays responsive
-        self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="vdb")
+        # engine calls are blocking (device compute + host bookkeeping); a small pool
+        # keeps the event loop responsive (writes still serialize on the engine lock)
+        self._pool = ThreadPoolExecutor(max_workers=16, thread_name_prefix="vdb")
+        # optional micro-batching: concurrent single-query searches coalesce into one
+        # shared kernel launch (engine/batcher.py)
+        self.micro_batcher = None
+        if batch_queries:
+            from ..engine.batcher import MicroBatcher
+
+            self.micro_batcher = MicroBatcher(query_processor, max_wait_us=batch_wait_us)
         self.app = self._build_app()
+
+    def _find_similar(self, query, top_k, namespace, metric, filter):
+        if self.micro_batcher is not None:
+            return self.micro_batcher.find_similar(query, top_k, namespace, metric, filter)
+        return self.query_processor.find_similar(query, top_k, namespace, metric, filter)
 
     # ------------------------------------------------------------------ plumbing
 
@@ -280,7 +294,7 @@ class RestAPI:
         )
         try:
             results = await self._run(
-                self.query_processor.find_similar,
+                self._find_similar,
                 VectorDTO(values=body.query, metadata={}),
                 body.top_k,
                 ns,
@@ -439,7 +453,7 @@ class RestAPI:
         ns = self._query_common(body, request)
         return await self._timed_query(
             "knn",
-            self.query_processor.find_similar,
+            self._find_similar,
             VectorDTO(values=body.vector, metadata={}),
             body.k,
             ns,
@@ -494,7 +508,7 @@ class RestAPI:
         ns = self._query_common(body, request)
         return await self._timed_query(
             "hybrid",
-            self.query_processor.find_similar,
+            self._find_similar,
             VectorDTO(values=body.vector, metadata={}),
             body.k or 10,
             ns,
@@ -539,6 +553,8 @@ class RestAPI:
 
     async def statistics(self, request: web.Request) -> web.Response:
         stats = self.query_processor.get_statistics()
+        if self.micro_batcher is not None:
+            stats["micro_batcher"] = self.micro_batcher.stats()
         by_type = stats["queries_by_type"]
         # flatten to the example client's expected keys (examples/api_client.py:168-171)
         flat = {f"{k}_queries": v for k, v in by_type.items()}

@@ -44,7 +44,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metric", default="l2", help="Default distance metric (l2/ip/cosine)")
     p.add_argument("--db-tile", type=int, default=8192, help="Database-axis kernel tile size")
     p.add_argument("--snapshot", default=None, help="Snapshot directory to load on startup")
+    p.add_argument(
+        "--snapshot-interval",
+        type=float,
+        default=0.0,
+        help="Seconds between automatic snapshots to --snapshot dir (0 = disabled)",
+    )
     p.add_argument("--no-pallas", action="store_true", help="Force the pure-XLA backend")
+    p.add_argument(
+        "--auto-batch",
+        action="store_true",
+        help="Coalesce concurrent single-query searches into shared kernel launches",
+    )
+    p.add_argument(
+        "--batch-wait-us",
+        type=int,
+        default=500,
+        help="Max microseconds a query waits for batch-mates under --auto-batch",
+    )
     return p
 
 
@@ -65,12 +82,16 @@ def main(argv=None) -> None:
         qp = QueryProcessor.load(args.snapshot, config)
     else:
         qp = QueryProcessor(config=config)
+    if args.snapshot and args.snapshot_interval > 0:
+        qp.start_auto_snapshot(args.snapshot, args.snapshot_interval)
 
     api = RestAPI(
         query_processor=qp,
         title="MLVectorDB-TPU API",
         enable_file_logging=not args.no_file_logging,
         log_level=args.log_level.upper(),
+        batch_queries=args.auto_batch,
+        batch_wait_us=args.batch_wait_us,
     )
     api.run(host=args.host, port=args.port)
 

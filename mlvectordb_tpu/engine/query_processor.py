@@ -359,3 +359,55 @@ class QueryProcessor:
 
         qp = cls(load_storage(path, config), config)
         return qp
+
+    def start_auto_snapshot(self, path: str, interval_s: float = 300.0) -> None:
+        """Periodic background checkpointing (crash recovery: restart with
+        QueryProcessor.load(path) or the server's --snapshot flag).  Writes go to a
+        temp directory and are swapped in atomically; skipped when nothing mutated."""
+        import os
+        import shutil
+
+        if getattr(self, "_snap_thread", None) is not None:
+            raise RuntimeError("auto-snapshot already running")
+        self._snap_stop = threading.Event()
+
+        def versions() -> tuple:
+            return tuple(
+                sorted(
+                    (name, self.storage.namespace(name).version)
+                    for name in self.storage.list_namespaces()
+                )
+            )
+
+        def loop():
+            last = None
+            while not self._snap_stop.wait(interval_s):
+                try:
+                    cur = versions()
+                    if cur == last:
+                        continue
+                    tmp = path + ".tmp"
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    self.save(tmp)
+                    old = path + ".old"
+                    shutil.rmtree(old, ignore_errors=True)
+                    if os.path.isdir(path):
+                        os.rename(path, old)
+                    os.rename(tmp, path)
+                    shutil.rmtree(old, ignore_errors=True)
+                    last = cur
+                    self.stats.record("auto_snapshot", 0.0)
+                except Exception:  # pragma: no cover - keep checkpointing alive
+                    import logging
+
+                    logging.getLogger(__name__).exception("auto-snapshot failed")
+
+        self._snap_thread = threading.Thread(target=loop, daemon=True, name="auto-snapshot")
+        self._snap_thread.start()
+
+    def stop_auto_snapshot(self) -> None:
+        t = getattr(self, "_snap_thread", None)
+        if t is not None:
+            self._snap_stop.set()
+            t.join(timeout=10)
+            self._snap_thread = None

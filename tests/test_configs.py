@@ -1,0 +1,91 @@
+"""Engine configuration axes: bfloat16 storage, high-dimensional vectors (multi-lane
+padding), metric defaults — the MSMARCO/OpenAI-1536d and DEEP-bf16 configs of
+BASELINE.md exercised functionally."""
+
+import numpy as np
+import pytest
+
+from mlvectordb_tpu import QueryProcessor, VectorDTO
+from mlvectordb_tpu.config import EngineConfig
+
+
+def dto(vals, meta=None, vid=None):
+    return VectorDTO(values=vals, metadata=meta, id=vid)
+
+
+@pytest.fixture
+def bf16_config():
+    return EngineConfig(
+        dtype="bfloat16",
+        initial_capacity=64,
+        capacity_multiple=32,
+        db_tile=128,
+        query_buckets=(4, 16, 64),
+        k_buckets=(8, 32),
+        use_pallas=False,
+    )
+
+
+def test_bf16_storage_end_to_end(bf16_config, rng):
+    qp = QueryProcessor(config=bf16_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(32).astype(np.float32), {"i": i}) for i in range(64)], "ns"
+    )
+    ns = qp.storage.namespace("ns")
+    import jax.numpy as jnp
+
+    assert ns.device_state().data.dtype == jnp.bfloat16
+    # planted exact-match neighbour must rank first despite bf16 quantization
+    res = qp.find_similar(dto(vs[17].values), top_k=3, namespace="ns", metric="cosine")
+    assert res[0]["id"] == vs[17].id
+    assert res[0]["score"] > 0.99
+    # host mirror returns the ORIGINAL float32 values, not the bf16-rounded rows
+    got = qp.storage.read(vs[17].id, "ns")
+    np.testing.assert_array_equal(got.values, vs[17].values)
+    # storage accounting reflects 2-byte rows
+    f32_qp = QueryProcessor(config=EngineConfig(
+        initial_capacity=64, capacity_multiple=32, use_pallas=False))
+    f32_qp.upsert_many([dto(v.values) for v in vs], "ns")
+    assert qp.storage.storage_size < f32_qp.storage.storage_size
+
+
+@pytest.mark.parametrize("dim", [200, 384, 1536])
+def test_high_dimensional_vectors(small_config, rng, dim):
+    qp = QueryProcessor(config=small_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(dim).astype(np.float32)) for _ in range(40)], "ns"
+    )
+    ns = qp.storage.namespace("ns")
+    assert ns.dpad % 128 == 0 and ns.dpad >= dim
+    res = qp.find_similar(dto(vs[7].values), top_k=5, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[7].id
+    assert res[0]["score"] == pytest.approx(0.0, abs=1e-3)
+    assert res[0]["values"].shape == (dim,)
+
+    # oracle parity at high dim
+    q = rng.standard_normal(dim).astype(np.float32)
+    res = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="cosine")
+    db = np.stack([v.values for v in vs])
+    sims = db @ q / (np.linalg.norm(db, axis=1) * np.linalg.norm(q))
+    assert {r["id"] for r in res} == {vs[i].id for i in np.argsort(-sims)[:5]}
+
+
+def test_default_metric_config(rng):
+    cfg = EngineConfig(default_metric="cosine", initial_capacity=64,
+                       capacity_multiple=32, use_pallas=False)
+    qp = QueryProcessor(config=cfg)
+    qp.upsert_many([dto([1.0, 0.0]), dto([0.0, 1.0])], "ns")
+    res = qp.find_similar(dto([1.0, 0.0]), top_k=2, namespace="ns")  # no metric arg
+    # cosine => higher-better ordering
+    assert res[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert res[0]["score"] >= res[1]["score"]
+
+
+def test_metric_aliases_through_engine(small_config, rng):
+    qp = QueryProcessor(config=small_config)
+    vs = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(10)], "ns")
+    q = dto(vs[0].values)
+    for alias, canon in (("euclidean", "l2"), ("dot", "ip"), ("inner_product", "ip")):
+        a = qp.find_similar(q, top_k=3, namespace="ns", metric=alias)
+        c = qp.find_similar(q, top_k=3, namespace="ns", metric=canon)
+        assert [r["id"] for r in a] == [r["id"] for r in c]

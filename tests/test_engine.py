@@ -232,3 +232,40 @@ def test_rest_helper_surface(qp):
     assert [x.id for x in vecs] == [v.id]
     info = qp.get_storage_info()
     assert info["total_vectors"] == 1
+
+
+def test_auto_snapshot_roundtrip(qp, rng, tmp_path, small_config):
+    import time
+
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(8).astype(np.float32), {"i": i}) for i in range(10)], "ns"
+    )
+    snap = str(tmp_path / "auto")
+    qp.start_auto_snapshot(snap, interval_s=0.2)
+    try:
+        deadline = time.time() + 10
+        import os
+        while not os.path.isdir(snap) and time.time() < deadline:
+            time.sleep(0.05)
+        assert os.path.isdir(snap)
+        # mutate and wait for a second snapshot generation
+        qp.insert(dto([9.0] * 8, {"late": True}), "ns")
+        count0 = qp.get_statistics()["queries_by_type"].get("auto_snapshot", 0)
+        deadline = time.time() + 10
+        while (
+            qp.get_statistics()["queries_by_type"].get("auto_snapshot", 0) <= count0
+            and time.time() < deadline
+        ):
+            time.sleep(0.05)
+    finally:
+        qp.stop_auto_snapshot()
+
+    qp2 = QueryProcessor.load(snap, small_config)
+    assert qp2.get_namespace_count("ns") == 11
+    res = qp2.find_similar(dto([9.0] * 8), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["metadata"] == {"late": True}
+
+    with pytest.raises(RuntimeError):
+        qp.start_auto_snapshot(snap, 0.2)
+        qp.start_auto_snapshot(snap, 0.2)
+    qp.stop_auto_snapshot()
