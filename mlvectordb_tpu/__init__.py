@@ -18,7 +18,7 @@ from .interfaces import (
     VectorDTO,
     VectorProtocol,
 )
-from .store import DeviceState, NamespaceStore, StorageEngine, Vector
+from .store import DeviceState, NamespaceStore, SearchIndex, SearchResult, StorageEngine, Vector
 from .engine import QueryProcessor
 
 __version__ = "0.1.0"
@@ -37,5 +37,7 @@ __all__ = [
     "DeviceState",
     "NamespaceStore",
     "StorageEngine",
+    "SearchIndex",
+    "SearchResult",
     "QueryProcessor",
 ]

@@ -360,6 +360,23 @@ class QueryProcessor:
         qp = cls(load_storage(path, config), config)
         return qp
 
+    # README-advertised persistence surface of the reference (SURVEY.md §0.1):
+    # save_index/load_index and create_backup/restore_from_backup map onto snapshots.
+
+    def save_index(self, path: str) -> None:
+        self.save(path)
+
+    def load_index(self, path: str) -> None:
+        from .persist import load_storage
+
+        self.storage = load_storage(path, self.config)
+
+    def create_backup(self, path: str) -> None:
+        self.save(path)
+
+    def restore_from_backup(self, path: str) -> None:
+        self.load_index(path)
+
     def start_auto_snapshot(self, path: str, interval_s: float = 300.0) -> None:
         """Periodic background checkpointing (crash recovery: restart with
         QueryProcessor.load(path) or the server's --snapshot flag).  Writes go to a

@@ -24,6 +24,7 @@ class SearchResultProtocol(Protocol):
     def score(self) -> float: ...
 
 
+@runtime_checkable
 class SearchIndexProtocol(Protocol):
     def add(self, vectors: Sequence[VectorProtocol], namespace: str = "default") -> None: ...
 

@@ -165,9 +165,10 @@ class StorageEngine:
         return sum(ns.nbytes for ns in self._namespaces.values())
 
     def get_storage_info(self) -> Dict[str, Any]:
-        # same shape as the reference (storage_engine_in_memory.py:61-69)
+        # same shape as the reference (storage_engine_in_memory.py:61-69), extended with
+        # device-memory telemetry where the runtime exposes it
         per_ns = {name: ns.live_count for name, ns in self._namespaces.items()}
-        return {
+        info = {
             "storage_type": "tpu_hbm",
             "total_vectors": self.total_vectors,
             "storage_size_bytes": self.storage_size,
@@ -175,3 +176,16 @@ class StorageEngine:
             "vectors_per_namespace": per_ns,
             "namespace_count": len(self._namespaces),
         }
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                info["device_memory"] = {
+                    "bytes_in_use": stats.get("bytes_in_use"),
+                    "bytes_limit": stats.get("bytes_limit"),
+                    "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                }
+        except Exception:  # pragma: no cover - backend without memory_stats
+            pass
+        return info
