@@ -229,6 +229,7 @@ class RestAPI:
         r.add_post("/snapshot/load", self.snapshot_load)
         # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
         r.add_get("/trace", self.get_trace)
+        r.add_get("/metrics", self.get_metrics)
         r.add_post("/profile/start", self.profile_start)
         r.add_post("/profile/stop", self.profile_stop)
         return app
@@ -390,6 +391,13 @@ class RestAPI:
 
         limit = int(request.query.get("limit", "100"))
         return _json({"summary": RECORDER.summary(), "recent": RECORDER.recent(limit)})
+
+    async def get_metrics(self, request: web.Request) -> web.Response:
+        from ..utils.metrics import render_metrics
+        from ..utils.tracing import RECORDER
+
+        text = await self._run(render_metrics, self.query_processor, RECORDER)
+        return web.Response(text=text, content_type="text/plain", charset="utf-8")
 
     async def profile_start(self, request: web.Request) -> web.Response:
         from ..utils.tracing import PROFILER

@@ -98,3 +98,47 @@ def test_rest_health_deep_and_trace(small_config):
             await client.close()
 
     asyncio.run(runner())
+
+
+def test_capacity_planner():
+    from mlvectordb_tpu.config import EngineConfig
+    from mlvectordb_tpu.utils.capacity import plan_capacity
+
+    # SIFT-1M f32 on a 16 GB chip: trivially fits
+    p = plan_capacity(1_000_000, 128, hbm_per_chip=16 * 1024**3)
+    assert p.fits_single_chip and p.min_shards == 1
+    assert p.dim_padded == 128 and p.bytes_per_vector == 512
+
+    # MSMARCO 100M x 1536 bf16 needs a pod slice
+    cfg = EngineConfig(dtype="bfloat16")
+    p = plan_capacity(100_000_000, 1536, cfg, hbm_per_chip=95 * 1024**3)
+    assert not p.fits_single_chip
+    assert p.min_shards >= 4
+    assert p.bytes_per_vector == 1536 * 2
+
+    # padding is accounted (100-d pads to 128 lanes)
+    p = plan_capacity(10_000, 100, hbm_per_chip=16 * 1024**3)
+    assert p.dim_padded == 128
+
+
+def test_prometheus_metrics_endpoint(small_config, rng):
+    async def runner():
+        qp = QueryProcessor(config=small_config)
+        api = RestAPI(qp, enable_file_logging=False, log_level="WARNING")
+        client = TestClient(TestServer(api.app))
+        await client.start_server()
+        try:
+            await client.post("/vectors?namespace=ns", json={"values": [1.0, 2.0]})
+            await client.post("/search?namespace=ns", json={"query": [1.0, 2.0]})
+            resp = await client.get("/metrics")
+            assert resp.status == 200
+            assert "text/plain" in resp.headers["Content-Type"]
+            text = await resp.text()
+            assert 'vectordb_queries_total{type="knn"} 1' in text
+            assert "vectordb_vectors_total 1" in text
+            assert 'vectordb_namespace_vectors{namespace="ns"} 1' in text
+            assert "# TYPE vectordb_span_avg_ms gauge" in text
+        finally:
+            await client.close()
+
+    asyncio.run(runner())
