@@ -55,6 +55,7 @@ class VectorSearchRequest(BaseModel):
     top_k: int = Field(10, ge=1, le=1000)
     metric: str = Field("cosine")
     filter: Optional[Dict[str, Any]] = None
+    nprobe: Optional[int] = Field(None, ge=1, description="Use the IVF index, probing this many clusters")
 
 
 class BatchSearchRequest(BaseModel):
@@ -84,6 +85,7 @@ class QueryRequest(BaseModel):
     filter: Optional[Dict[str, Any]] = None
     namespace: Optional[str] = None
     limit: int = Field(1000, ge=1, le=10000)
+    nprobe: Optional[int] = Field(None, ge=1)
 
 
 QUERY_TYPE_DESCRIPTIONS = {
@@ -148,10 +150,10 @@ class RestAPI:
             self.micro_batcher = MicroBatcher(query_processor, max_wait_us=batch_wait_us)
         self.app = self._build_app()
 
-    def _find_similar(self, query, top_k, namespace, metric, filter):
-        if self.micro_batcher is not None:
+    def _find_similar(self, query, top_k, namespace, metric, filter, nprobe=None):
+        if self.micro_batcher is not None and nprobe is None:
             return self.micro_batcher.find_similar(query, top_k, namespace, metric, filter)
-        return self.query_processor.find_similar(query, top_k, namespace, metric, filter)
+        return self.query_processor.find_similar(query, top_k, namespace, metric, filter, nprobe)
 
     # ------------------------------------------------------------------ plumbing
 
@@ -227,6 +229,9 @@ class RestAPI:
         # snapshots (persistence the reference README promises but lacks)
         r.add_post("/snapshot/save", self.snapshot_save)
         r.add_post("/snapshot/load", self.snapshot_load)
+        # approximate index lifecycle
+        r.add_post("/ivf/build", self.ivf_build)
+        r.add_delete("/ivf", self.ivf_drop)
         # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
         r.add_get("/trace", self.get_trace)
         r.add_get("/metrics", self.get_metrics)
@@ -301,6 +306,7 @@ class RestAPI:
                 ns,
                 body.metric,
                 body.filter,
+                body.nprobe,
             )
             return _json(results)
         except Exception as e:
@@ -467,6 +473,7 @@ class RestAPI:
             ns,
             body.metric,
             body.filter,
+            body.nprobe,
         )
 
     async def query_range(self, request: web.Request) -> web.Response:
@@ -575,6 +582,37 @@ class RestAPI:
                 "descriptions": QUERY_TYPE_DESCRIPTIONS,
             }
         )
+
+    # ------------------------------------------------------------------ ivf
+
+    async def ivf_build(self, request: web.Request) -> web.Response:
+        try:
+            payload = await request.json()
+        except Exception:
+            payload = {}
+        ns = payload.get("namespace", request.query.get("namespace", "default"))
+        try:
+            stats = await self._run(
+                self.query_processor.build_ivf,
+                ns,
+                payload.get("n_clusters"),
+                payload.get("cluster_capacity"),
+                payload.get("n_iters", 10),
+                payload.get("seed", 0),
+            )
+            return _json({"status": "success", "message": f"IVF built for {ns}", **stats})
+        except ValueError as e:
+            return _error(str(e), 404)
+        except Exception as e:
+            self.logger.error(f"IVF build failed: {e}", exc_info=True)
+            return _error(f"IVF build failed: {e}", 500)
+
+    async def ivf_drop(self, request: web.Request) -> web.Response:
+        ns = request.query.get("namespace", "default")
+        dropped = await self._run(self.query_processor.drop_ivf, ns)
+        if not dropped:
+            return _error(f"no IVF index on namespace {ns}", 404)
+        return _json({"status": "success", "message": f"IVF dropped for {ns}"})
 
     # ------------------------------------------------------------------ snapshots
 

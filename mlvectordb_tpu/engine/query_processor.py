@@ -88,6 +88,7 @@ class QueryProcessor:
         with self._write_lock:
             v = self._materialize(vector)
             self.storage.write(v, namespace)
+            self._sync_ivf_add(namespace, [v])
             return v
 
     def upsert_many(
@@ -98,13 +99,52 @@ class QueryProcessor:
         with self._write_lock, trace_span("upsert", namespace=namespace, count=len(vectors)):
             vs = [self._materialize(d) for d in vectors]
             self.storage.write_vectors(vs, namespace)
+            self._sync_ivf_add(namespace, vs)
             return vs
 
     def delete(
         self, vector_ids: Iterable[uuid_mod.UUID], namespace: str = "default"
     ) -> List[uuid_mod.UUID]:
         with self._write_lock, trace_span("delete", namespace=namespace):
-            return self.storage.delete_vectors(vector_ids, namespace)
+            ids = list(vector_ids)
+            removed = self.storage.delete_vectors(ids, namespace)
+            ns = self.storage.namespace(namespace)
+            ivf = getattr(ns, "ivf", None) if ns is not None else None
+            if ivf is not None and removed:
+                ivf.delete(removed)
+            return removed
+
+    def _sync_ivf_add(self, namespace: str, vectors: Sequence[Vector]) -> None:
+        ns = self.storage.namespace(namespace)
+        ivf = getattr(ns, "ivf", None) if ns is not None else None
+        if ivf is not None and vectors:
+            ivf.add(vectors)
+
+    def build_ivf(
+        self,
+        namespace: str = "default",
+        n_clusters: Optional[int] = None,
+        cluster_capacity: Optional[int] = None,
+        n_iters: int = 10,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Train and attach an IVF approximate index to a namespace (store/ivf.py).
+        Subsequent searches passing ``nprobe`` use it; exact search stays the default."""
+        from ..store.ivf import IVFIndex
+
+        with self._write_lock, trace_span("ivf_build", namespace=namespace):
+            ns = self.storage.namespace(namespace)
+            if ns is None:
+                raise ValueError(f"namespace {namespace!r} does not exist")
+            ns.ivf = IVFIndex(ns, n_clusters, cluster_capacity, n_iters, seed)
+            return ns.ivf.stats()
+
+    def drop_ivf(self, namespace: str = "default") -> bool:
+        ns = self.storage.namespace(namespace)
+        if ns is not None and getattr(ns, "ivf", None) is not None:
+            ns.ivf = None
+            return True
+        return False
 
     # ------------------------------------------------------------------ search core
 
@@ -115,15 +155,35 @@ class QueryProcessor:
         k: int,
         metric: str,
         filter: Optional[Dict[str, Any]],
+        nprobe: Optional[int] = None,
     ):
-        """Returns (dist [B, k'] np, slots [B, k'] np, ns_store) with k' = min(k, live).
-        Empty namespace / k<=0 -> (None, None, None)."""
+        """Returns (dist [B, k'] np, slots [B, k'] np, ns_store, resolver) with
+        k' = min(k, live); resolver maps result slots to uuids (store slots by default,
+        IVF slots when the approximate path ran).
+        Empty namespace / k<=0 -> (None, None, None, None)."""
         ns = self.storage.namespace(namespace)
         if ns is None or ns.live_count == 0 or k <= 0:
-            return None, None, None
+            return None, None, None, None
         if q_np.shape[1] != ns.dim:
             raise ValueError(
                 f"query dim {q_np.shape[1]} != namespace {namespace!r} dim {ns.dim}"
+            )
+
+        # approximate path: IVF probe-search (no filters — those fall through to exact)
+        ivf = getattr(ns, "ivf", None)
+        if nprobe is not None and ivf is not None and filter is None:
+            k_eff = min(k, ns.live_count)
+            B = q_np.shape[0]
+            Bb = self.config.bucket_batch(B)
+            q_pad = np.zeros((Bb, ns.dpad), np.float32)
+            q_pad[:B, : ns.dim] = q_np
+            with trace_span("knn_ivf", namespace=namespace, k=k_eff, nprobe=nprobe):
+                dist, idx = ivf.search(jnp.asarray(q_pad), k_eff, metric, nprobe)
+            return (
+                np.asarray(dist)[:B, :k_eff],
+                np.asarray(idx)[:B, :k_eff],
+                ns,
+                ivf.slot_to_id,
             )
 
         # Snapshot-read with RCU-style retry: the write path DONATES its device buffers
@@ -137,7 +197,7 @@ class QueryProcessor:
                 if attempt == attempts - 1:
                     with ns._lock:
                         return self._search_snapshot(q_np, ns, namespace, k, metric, filter)
-                return self._search_snapshot(q_np, ns, namespace, k, metric, filter)
+                return self._search_snapshot(q_np, ns, namespace, k, metric, filter)  # noqa: TRY300
             except RuntimeError as e:
                 if "deleted" not in str(e):
                     raise
@@ -182,7 +242,7 @@ class QueryProcessor:
                 )
         dist = np.asarray(dist)[:B, :k_eff]
         idx = np.asarray(idx)[:B, :k_eff]
-        return dist, idx, ns
+        return dist, idx, ns, ns.slot_to_id
 
     def _to_user_score(self, dist: np.ndarray, metric: str) -> np.ndarray:
         # reference convention (index.py:121-128): cosine -> 1 - dist; else raw distance
@@ -197,8 +257,9 @@ class QueryProcessor:
         namespace: str = "default",
         metric: Optional[str] = None,
         filter: Optional[Dict[str, Any]] = None,
+        nprobe: Optional[int] = None,
     ) -> List[Dict[str, Any]]:
-        return self.find_similar_batch([query], top_k, namespace, metric, filter)[0]
+        return self.find_similar_batch([query], top_k, namespace, metric, filter, nprobe)[0]
 
     def find_similar_batch(
         self,
@@ -207,30 +268,38 @@ class QueryProcessor:
         namespace: str = "default",
         metric: Optional[str] = None,
         filter: Optional[Dict[str, Any]] = None,
+        nprobe: Optional[int] = None,
     ) -> List[List[Dict[str, Any]]]:
-        """Batched kNN — query batches are free MXU parallelism; this is the QPS path."""
+        """Batched kNN — query batches are free MXU parallelism; this is the QPS path.
+
+        ``nprobe``: opt into the approximate IVF path (build_ivf first) probing that many
+        clusters; None (default) = exact search, recall 1.0."""
         t0 = time.perf_counter()
         m = canonical_metric(metric or self.config.default_metric)
         q_np = np.stack([np.asarray(q.values, np.float32).reshape(-1) for q in queries])
-        dist, slots, ns = self._raw_search(q_np, namespace, top_k, m, filter)
+        dist, slots, ns, resolver = self._raw_search(
+            q_np, namespace, top_k, m, filter, nprobe
+        )
         if ns is None:
             results: List[List[Dict[str, Any]]] = [[] for _ in queries]
         else:
             user = self._to_user_score(dist, m)
             with trace_span("hydrate", namespace=namespace, batch=len(queries)):
                 results = [
-                    self._hydrate_scored(user[i], dist[i], slots[i], ns)
+                    self._hydrate_scored(user[i], dist[i], slots[i], ns, resolver)
                     for i in range(len(queries))
                 ]
-        self.stats.record("knn" if not filter else "hybrid", (time.perf_counter() - t0) * 1e3)
+        kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
+        self.stats.record(kind, (time.perf_counter() - t0) * 1e3)
         return results
 
-    def _hydrate_scored(self, user_row, dist_row, slot_row, ns) -> List[Dict[str, Any]]:
+    def _hydrate_scored(self, user_row, dist_row, slot_row, ns, resolver=None) -> List[Dict[str, Any]]:
+        resolver = resolver or ns.slot_to_id
         out = []
         for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
             if d >= float(MASKED) / 2:
                 continue
-            vid = ns.slot_to_id(int(slot))
+            vid = resolver(int(slot))
             if vid is None:
                 continue
             vec = ns.get(vid)
@@ -256,12 +325,12 @@ class QueryProcessor:
         t0 = time.perf_counter()
         m = canonical_metric(metric or self.config.default_metric)
         q_np = np.asarray(query.values, np.float32).reshape(1, -1)
-        dist, slots, ns = self._raw_search(q_np, namespace, limit, m, filter)
+        dist, slots, ns, resolver = self._raw_search(q_np, namespace, limit, m, filter)
         if ns is None:
             self.stats.record("range", (time.perf_counter() - t0) * 1e3)
             return []
         user = self._to_user_score(dist, m)
-        hits = self._hydrate_scored(user[0], dist[0], slots[0], ns)
+        hits = self._hydrate_scored(user[0], dist[0], slots[0], ns, resolver)
         if HIGHER_IS_BETTER[m]:
             hits = [h for h in hits if h["score"] >= radius]
         else:

@@ -98,6 +98,8 @@ class NamespaceStore:
         # native columnar metadata mirror (C++ filter evaluation); None until first use
         self.meta_columns = None
         self._meta_columns_tried = False
+        # optional approximate index (store/ivf.py), attached by QueryProcessor.build_ivf
+        self.ivf = None
 
     # ------------------------------------------------------------------ properties
 

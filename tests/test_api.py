@@ -298,3 +298,33 @@ async def test_search_missing_namespace_returns_empty_list(client, qp):
     resp = await client.post("/search?namespace=ghost", json={"query": [1.0, 2.0]})
     assert resp.status == 200
     assert await resp.json() == []
+
+
+@api_test
+async def test_ivf_rest_lifecycle(client, qp):
+    ids, vecs = await _seed(client, n=64, dim=8)
+    resp = await client.post("/ivf/build", json={"namespace": "ns", "n_clusters": 4})
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["clusters"] == 4 and body["live"] == 64
+
+    resp = await client.post(
+        "/search?namespace=ns",
+        json={"query": vecs[3]["values"], "top_k": 1, "metric": "l2", "nprobe": 4},
+    )
+    results = await resp.json()
+    assert uuid.UUID(results[0]["id"]) == ids[3]
+
+    resp = await client.post(
+        "/query/knn",
+        json={"vector": vecs[5]["values"], "k": 1, "namespace": "ns", "nprobe": 4},
+    )
+    body = await resp.json()
+    assert uuid.UUID(body["results"][0]["id"]) == ids[5]
+
+    resp = await client.delete("/ivf?namespace=ns")
+    assert resp.status == 200
+    resp = await client.delete("/ivf?namespace=ns")
+    assert resp.status == 404
+    resp = await client.post("/ivf/build", json={"namespace": "ghost"})
+    assert resp.status == 404

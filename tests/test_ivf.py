@@ -1,0 +1,167 @@
+"""IVF approximate index: k-means quantizer, probe search, engine integration.
+
+The reference's index is approximate (hnswlib HNSW with unmeasured recall — SURVEY.md
+§2.1); IVF is this engine's opt-in approximate counterpart.  Key invariant: probing ALL
+clusters degenerates to exact search — which gives us an oracle for correctness, while
+recall tests use clustered data where small nprobe must still find planted neighbours.
+"""
+
+import numpy as np
+import pytest
+
+from mlvectordb_tpu import QueryProcessor, VectorDTO
+from mlvectordb_tpu.ops.kmeans import assign_clusters, train_kmeans, update_centroids
+
+
+def clustered_data(rng, n_clusters=8, per=40, dim=16, spread=0.05):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 3
+    rows = np.concatenate(
+        [c + spread * rng.standard_normal((per, dim)).astype(np.float32) for c in centers]
+    )
+    return rows, centers
+
+
+def dto(vals, meta=None, vid=None):
+    return VectorDTO(values=vals, metadata=meta, id=vid)
+
+
+# ------------------------------------------------------------------------- k-means
+
+
+def test_kmeans_recovers_clusters(rng):
+    import jax.numpy as jnp
+
+    rows, centers = clustered_data(rng)
+    data = jnp.asarray(rows)
+    valid = jnp.ones((rows.shape[0],), bool)
+    cents, assign = train_kmeans(data, valid, n_clusters=8, n_iters=15, seed=1)
+    a = np.asarray(assign)
+    # same-generated-cluster rows end up together
+    for g in range(8):
+        block = a[g * 40 : (g + 1) * 40]
+        assert (block == block[0]).all()
+    # recovered centroids are near true centers (in some permutation)
+    c = np.asarray(cents)
+    d = ((c[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    assert (d.min(axis=0) < 0.1).all()
+
+
+def test_kmeans_update_step_is_cluster_mean(rng):
+    import jax.numpy as jnp
+
+    rows = rng.standard_normal((100, 8)).astype(np.float32)
+    assign = jnp.asarray(rng.integers(0, 4, 100).astype(np.int32))
+    cents, counts = update_centroids(jnp.asarray(rows), assign, n_clusters=4)
+    a = np.asarray(assign)
+    for c in range(4):
+        sel = rows[a == c]
+        assert counts[c] == len(sel)
+        np.testing.assert_allclose(np.asarray(cents)[c], sel.mean(0), rtol=1e-5, atol=1e-5)
+
+
+def test_assign_respects_validity(rng):
+    import jax.numpy as jnp
+
+    rows = rng.standard_normal((64, 8)).astype(np.float32)
+    valid = np.ones(64, bool)
+    valid[10] = False
+    cents = jnp.asarray(rows[:4])
+    a, _ = assign_clusters(jnp.asarray(rows), jnp.asarray(valid), cents)
+    assert np.asarray(a)[10] == -1
+    assert (np.asarray(a)[:4] == np.arange(4)).all()  # centroid rows map to themselves
+
+
+# ------------------------------------------------------------------------- IVF engine
+
+
+@pytest.fixture
+def ivf_qp(small_config, rng):
+    qp = QueryProcessor(config=small_config)
+    rows, _ = clustered_data(rng, n_clusters=8, per=40, dim=16)
+    vs = qp.upsert_many([dto(r, {"i": i}) for i, r in enumerate(rows)], "ns")
+    stats = qp.build_ivf("ns", n_clusters=8, n_iters=10, seed=0)
+    assert stats["clusters"] == 8 and stats["live"] == len(vs)
+    return qp, vs, rows
+
+
+def test_full_probe_matches_exact(ivf_qp):
+    qp, vs, rows = ivf_qp
+    q = dto(rows[5])
+    exact = qp.find_similar(q, top_k=10, namespace="ns", metric="l2")
+    approx = qp.find_similar(q, top_k=10, namespace="ns", metric="l2", nprobe=8)
+    assert [r["id"] for r in exact] == [r["id"] for r in approx]
+    for e, a in zip(exact, approx):
+        assert a["score"] == pytest.approx(e["score"], rel=1e-4, abs=1e-4)
+
+
+def test_small_nprobe_finds_planted_neighbor(ivf_qp, rng):
+    qp, vs, rows = ivf_qp
+    # query very close to a stored vector: its cluster must be probed first
+    for i in (3, 77, 200, 319):
+        q = dto(rows[i] + 0.001 * rng.standard_normal(16).astype(np.float32))
+        res = qp.find_similar(q, top_k=1, namespace="ns", metric="l2", nprobe=1)
+        assert res[0]["id"] == vs[i].id
+
+
+def test_recall_at_small_nprobe(ivf_qp, rng):
+    qp, vs, rows = ivf_qp
+    hits = total = 0
+    for _ in range(20):
+        q = rng.standard_normal(16).astype(np.float32)
+        exact = {r["id"] for r in qp.find_similar(dto(q), 5, "ns", "l2")}
+        approx = {r["id"] for r in qp.find_similar(dto(q), 5, "ns", "l2", nprobe=2)}
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.6  # random queries, 2/8 clusters probed
+
+
+def test_ivf_tracks_mutations(ivf_qp, rng):
+    qp, vs, rows = ivf_qp
+    ns = qp.storage.namespace("ns")
+    # insert a new vector: must be findable through IVF without rebuild
+    nv = qp.insert(dto(rows[0] * 0.999 + 0.001, {"new": True}), "ns")
+    res = qp.find_similar(dto(nv.values), top_k=1, namespace="ns", nprobe=2)
+    assert res[0]["id"] == nv.id
+    # delete: must disappear from IVF results
+    qp.delete([vs[10].id], "ns")
+    res = qp.find_similar(dto(rows[10]), top_k=5, namespace="ns", nprobe=8)
+    assert vs[10].id not in [r["id"] for r in res]
+    # overwrite by id: new values served
+    qp.upsert_many([dto(rows[20] + 5.0, {"v": 2}, vs[20].id)], "ns")
+    res = qp.find_similar(dto(rows[20] + 5.0), top_k=1, namespace="ns", nprobe=8)
+    assert res[0]["id"] == vs[20].id
+    assert ns.ivf.live_count == ns.live_count
+
+
+def test_nprobe_with_filter_falls_back_to_exact(ivf_qp):
+    qp, vs, rows = ivf_qp
+    res = qp.find_similar(
+        dto(rows[0]), top_k=5, namespace="ns", nprobe=1, filter={"i": {"$lt": 100}}
+    )
+    assert len(res) == 5
+    assert all(r["metadata"]["i"] < 100 for r in res)
+
+
+def test_nprobe_without_index_uses_exact(small_config, rng):
+    qp = QueryProcessor(config=small_config)
+    vs = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(20)], "ns")
+    res = qp.find_similar(dto(vs[0].values), top_k=1, namespace="ns", nprobe=4)
+    assert res[0]["id"] == vs[0].id  # silently exact
+
+
+def test_drop_ivf(ivf_qp):
+    qp, vs, rows = ivf_qp
+    assert qp.drop_ivf("ns") is True
+    assert qp.drop_ivf("ns") is False
+    res = qp.find_similar(dto(rows[0]), top_k=1, namespace="ns", nprobe=1)
+    assert res[0]["id"] == vs[0].id  # exact path again
+
+
+def test_ivf_stats_and_statistics_kind(ivf_qp):
+    qp, vs, rows = ivf_qp
+    ns = qp.storage.namespace("ns")
+    st = ns.ivf.stats()
+    assert st["live"] == ns.live_count
+    assert st["fill_max"] <= st["cluster_capacity"]
+    qp.find_similar(dto(rows[0]), top_k=1, namespace="ns", nprobe=2)
+    assert qp.get_statistics()["queries_by_type"].get("ivf", 0) >= 1
