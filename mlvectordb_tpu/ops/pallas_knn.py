@@ -56,8 +56,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .distances import MASKED
 from .topk import exact_knn
 
-# database rows per level-1 window (W = DB_TILE/R1 lanes of output per tile)
-R1 = 32
+# database rows per level-1 window (W = DB_TILE/R1 lanes of output per tile).
+# Batch-adaptive: small batches want wide windows (the [N/R1, B] output is lane-padded, so
+# narrow batches with small R1 pay massive write amplification); large batches want narrow
+# windows (smaller rescan gathers dominate).  Measured on v5e, 1M x 128 f32 k=10:
+#   B=8:   R1=32 ~0.4 ms   R1=8 ~1.1 ms
+#   B=128: R1=32 ~2.5 ms   R1=8 ~0.87 ms (148K QPS)
+def _pick_r1(batch: int) -> int:
+    if batch <= 32:
+        return 32
+    if batch < 128:
+        return 16
+    return 8
 # level-1 windows per level-2 window
 R2 = 32
 # rows per phase-1 grid step along the database axis
@@ -68,16 +78,16 @@ Q_TILE = 256
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _winmin(dist):
-    """Strided window-min over the database (sublane) axis: R1 static slices of W rows."""
-    w = dist.shape[0] // R1
+def _winmin(dist, r1):
+    """Strided window-min over the database (sublane) axis: r1 static slices of W rows."""
+    w = dist.shape[0] // r1
     acc = dist[:w, :]
-    for r in range(1, R1):
+    for r in range(1, r1):
         acc = jnp.minimum(acc, dist[r * w : (r + 1) * w, :])
     return acc
 
 
-def _fast_kernel(metric: str, db_tile: int):
+def _fast_kernel(metric: str, db_tile: int, r1: int):
     def kernel(db_ref, qt_ref, qn_ref, hw_ref, out_ref):
         db = db_ref[:]
         dots = jax.lax.dot_general(
@@ -100,12 +110,12 @@ def _fast_kernel(metric: str, db_tile: int):
         di = pl.program_id(0)
         row = di * db_tile + jax.lax.broadcasted_iota(jnp.int32, (db_tile, 1), 0)
         dist = jnp.where(row < hw_ref[0, 0], dist, 3.0e38)  # == distances.MASKED
-        out_ref[:] = _winmin(dist)
+        out_ref[:] = _winmin(dist, r1)
 
     return kernel
 
 
-def _masked_kernel(metric: str):
+def _masked_kernel(metric: str, r1: int):
     def kernel(db_ref, qt_ref, qn_ref, bias_ref, out_ref):
         db = db_ref[:]
         dots = jax.lax.dot_general(
@@ -125,7 +135,7 @@ def _masked_kernel(metric: str):
             sqn = jnp.sum(db32 * db32, axis=1, keepdims=True)
             denom = jax.lax.rsqrt(jnp.maximum(sqn * qn, 1e-30))
             dist = 1.0 - dots * denom + bias
-        out_ref[:] = _winmin(dist)
+        out_ref[:] = _winmin(dist, r1)
 
     return kernel
 
@@ -139,56 +149,56 @@ def _common_specs(db_tile, Dp, q_tile):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "q_tile", "db_tile"))
-def _window_mins_fast(data, qt, qn, hw, *, metric, q_tile, db_tile):
+@functools.partial(jax.jit, static_argnames=("metric", "q_tile", "db_tile", "r1"))
+def _window_mins_fast(data, qt, qn, hw, *, metric, q_tile, db_tile, r1):
     N, Dp = data.shape
     B = qt.shape[1]
-    W = db_tile // R1
+    W = db_tile // r1
     return pl.pallas_call(
-        _fast_kernel(metric, db_tile),
+        _fast_kernel(metric, db_tile, r1),
         grid=(N // db_tile, B // q_tile),
         in_specs=_common_specs(db_tile, Dp, q_tile)
         + [pl.BlockSpec((1, 1), lambda di, qi: (0, 0), memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
             (W, q_tile), lambda di, qi: (di, qi), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((N // R1, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N // r1, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * Dp,
-            bytes_accessed=N * Dp * data.dtype.itemsize + B * (N // R1) * 4,
+            bytes_accessed=N * Dp * data.dtype.itemsize + B * (N // r1) * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
     )(data, qt, qn, hw)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "q_tile", "db_tile"))
-def _window_mins_masked(data, qt, qn, bias, *, metric, q_tile, db_tile):
+@functools.partial(jax.jit, static_argnames=("metric", "q_tile", "db_tile", "r1"))
+def _window_mins_masked(data, qt, qn, bias, *, metric, q_tile, db_tile, r1):
     N, Dp = data.shape
     B = qt.shape[1]
-    W = db_tile // R1
+    W = db_tile // r1
     return pl.pallas_call(
-        _masked_kernel(metric),
+        _masked_kernel(metric, r1),
         grid=(N // db_tile, B // q_tile),
         in_specs=_common_specs(db_tile, Dp, q_tile)
         + [pl.BlockSpec((db_tile, 1), lambda di, qi: (di, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (W, q_tile), lambda di, qi: (di, qi), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((N // R1, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N // r1, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * Dp,
-            bytes_accessed=N * Dp * data.dtype.itemsize + B * (N // R1) * 4,
+            bytes_accessed=N * Dp * data.dtype.itemsize + B * (N // r1) * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
     )(data, qt, qn, bias)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "db_tile", "masked"))
-def _select_and_rescan(q, qn_row, data, maskadd, hw, wmin1t, *, k, metric, db_tile, masked):
+@functools.partial(jax.jit, static_argnames=("k", "metric", "db_tile", "masked", "r1"))
+def _select_and_rescan(q, qn_row, data, maskadd, hw, wmin1t, *, k, metric, db_tile, masked, r1):
     """Hierarchical selection over phase-1 window mins + exact rescan of candidates.
 
     wmin1t is [W1, B] (transposed); all wide reductions happen on small tensors.
@@ -221,11 +231,11 @@ def _select_and_rescan(q, qn_row, data, maskadd, hw, wmin1t, *, k, metric, db_ti
     win = jnp.take_along_axis(l1_ids, pos, axis=1)                # level-1 window ids
 
     # candidate rows (strided window layout, see module docstring)
-    W = db_tile // R1
+    W = db_tile // r1
     base = (win // W) * db_tile + (win % W)                       # [B, s1]
-    rows = (base[:, :, None] + jnp.arange(R1)[None, None, :] * W).reshape(B, s1 * R1)
+    rows = (base[:, :, None] + jnp.arange(r1)[None, None, :] * W).reshape(B, s1 * r1)
 
-    sub = data[rows.reshape(-1)].astype(jnp.float32).reshape(B, s1 * R1, -1)
+    sub = data[rows.reshape(-1)].astype(jnp.float32).reshape(B, s1 * r1, -1)
     dots = jax.lax.dot_general(
         q,
         sub,
@@ -280,12 +290,13 @@ def exact_knn_pallas(
     B = q.shape[0]
     tile = DB_TILE
     qt_w = min(Q_TILE, B)
+    r1 = _pick_r1(B)
     if (
         cap < 2 * tile
         or cap % tile != 0
         or B % qt_w != 0
         or q.shape[1] % 128 != 0
-        or k * R1 > cap
+        or k * r1 > cap
     ):
         return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
 
@@ -297,11 +308,11 @@ def exact_knn_pallas(
     if live_prefix is not None:
         hw = jnp.asarray([[live_prefix]], jnp.int32)
         wmin1t = _window_mins_fast(
-            data, qtarr, qn, hw, metric=metric, q_tile=qt_w, db_tile=tile
+            data, qtarr, qn, hw, metric=metric, q_tile=qt_w, db_tile=tile, r1=r1
         )
         return _select_and_rescan(
             q32, qn_row[:, None], data, sq_norms, jnp.int32(live_prefix), wmin1t,
-            k=k, metric=metric, db_tile=tile, masked=False,
+            k=k, metric=metric, db_tile=tile, masked=False, r1=r1,
         )
 
     maskadd = jnp.where(valid, 0.0, MASKED).astype(jnp.float32)   # [N]
@@ -310,9 +321,9 @@ def exact_knn_pallas(
     else:
         bias = maskadd.reshape(cap, 1)
     wmin1t = _window_mins_masked(
-        data, qtarr, qn, bias, metric=metric, q_tile=qt_w, db_tile=tile
+        data, qtarr, qn, bias, metric=metric, q_tile=qt_w, db_tile=tile, r1=r1
     )
     return _select_and_rescan(
         q32, qn_row[:, None], data, maskadd, jnp.int32(cap), wmin1t,
-        k=k, metric=metric, db_tile=tile, masked=True,
+        k=k, metric=metric, db_tile=tile, masked=True, r1=r1,
     )
