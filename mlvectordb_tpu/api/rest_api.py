@@ -132,10 +132,12 @@ class RestAPI:
         log_file: str = "vector_db_api.log",
         batch_queries: bool = False,
         batch_wait_us: int = 500,
+        api_key: Optional[str] = None,
     ):
         self.query_processor = query_processor
         self.title = title
         self.enable_file_logging = enable_file_logging
+        self.api_key = api_key  # None = open (reference parity); set = bearer-token auth
         self._setup_logging(log_level, log_file)
         self.logger = logging.getLogger("vector_db_api")
         # engine calls are blocking (device compute + host bookkeeping); a small pool
@@ -180,6 +182,16 @@ class RestAPI:
 
     def _build_app(self) -> web.Application:
         @web.middleware
+        async def check_auth(request: web.Request, handler):
+            # opt-in bearer auth; /health stays open for probes
+            if self.api_key is not None and request.path != "/health":
+                auth = request.headers.get("Authorization", "")
+                supplied = auth[7:] if auth.startswith("Bearer ") else request.headers.get("X-API-Key", "")
+                if supplied != self.api_key:
+                    return _error("Unauthorized", 401)
+            return await handler(request)
+
+        @web.middleware
         async def log_requests(request: web.Request, handler):
             # timing middleware (reference rest_api.py:347-378)
             start = time.time()
@@ -204,7 +216,9 @@ class RestAPI:
                 raise response
             return response
 
-        app = web.Application(middlewares=[log_requests], client_max_size=256 * 1024 * 1024)
+        app = web.Application(
+            middlewares=[log_requests, check_auth], client_max_size=256 * 1024 * 1024
+        )
         r = app.router
         r.add_post("/vectors", self.insert_vector)
         r.add_put("/vectors/batch", self.upsert_vectors)

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Coalesce concurrent single-query searches into shared kernel launches",
     )
     p.add_argument(
+        "--api-key",
+        default=None,
+        help="Require this bearer token on every request except /health (default: open)",
+    )
+    p.add_argument(
         "--batch-wait-us",
         type=int,
         default=500,
@@ -92,6 +97,7 @@ def main(argv=None) -> None:
         log_level=args.log_level.upper(),
         batch_queries=args.auto_batch,
         batch_wait_us=args.batch_wait_us,
+        api_key=args.api_key,
     )
     api.run(host=args.host, port=args.port)
 

@@ -26,9 +26,18 @@ def _ns_file(i: int) -> str:
 
 
 def save_storage(storage: StorageEngine, path: str) -> List[str]:
+    import dataclasses
+
     os.makedirs(path, exist_ok=True)
     names = storage.list_namespaces()
-    manifest = {"format": "mlvectordb-tpu-snapshot", "version": 1, "namespaces": []}
+    manifest = {
+        "format": "mlvectordb-tpu-snapshot",
+        "version": 1,
+        # engine config captured for restore-time validation (dtype changes are legal —
+        # values are stored f32 — but worth surfacing)
+        "engine_config": dataclasses.asdict(storage.config),
+        "namespaces": [],
+    }
     for i, name in enumerate(names):
         ns = storage.namespace(name)
         if ns is None:
@@ -53,6 +62,15 @@ def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEng
         manifest = json.load(f)
     if manifest.get("format") != "mlvectordb-tpu-snapshot":
         raise ValueError(f"not a snapshot directory: {path}")
+    saved_cfg = manifest.get("engine_config") or {}
+    if saved_cfg.get("dtype") and saved_cfg["dtype"] != config.dtype:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "snapshot was written with dtype=%s, loading into dtype=%s "
+            "(values are stored f32; this only changes device storage precision)",
+            saved_cfg["dtype"], config.dtype,
+        )
     storage = StorageEngine(config)
     for entry in manifest["namespaces"]:
         base = entry["file"]

@@ -328,3 +328,31 @@ async def test_ivf_rest_lifecycle(client, qp):
     assert resp.status == 404
     resp = await client.post("/ivf/build", json={"namespace": "ghost"})
     assert resp.status == 404
+
+
+def test_api_key_auth(small_config):
+    async def runner():
+        qp = QueryProcessor(config=small_config)
+        api = RestAPI(qp, enable_file_logging=False, log_level="WARNING", api_key="s3cret")
+        client = TestClient(TestServer(api.app))
+        await client.start_server()
+        try:
+            # health stays open for probes
+            assert (await client.get("/health")).status == 200
+            # everything else requires the key
+            assert (await client.get("/namespaces")).status == 401
+            r = await client.post("/vectors", json={"values": [1.0]})
+            assert r.status == 401
+            # bearer header works
+            r = await client.get("/namespaces", headers={"Authorization": "Bearer s3cret"})
+            assert r.status == 200
+            # X-API-Key works too
+            r = await client.get("/namespaces", headers={"X-API-Key": "s3cret"})
+            assert r.status == 200
+            # wrong key rejected
+            r = await client.get("/namespaces", headers={"Authorization": "Bearer nope"})
+            assert r.status == 401
+        finally:
+            await client.close()
+
+    asyncio.run(runner())
