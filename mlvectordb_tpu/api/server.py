@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Require this bearer token on every request except /health (default: open)",
     )
     p.add_argument(
+        "--grpc-port",
+        type=int,
+        default=0,
+        help="Also serve gRPC on this port (0 = disabled); see protos/vectordb.proto",
+    )
+    p.add_argument(
         "--batch-wait-us",
         type=int,
         default=500,
@@ -99,6 +105,14 @@ def main(argv=None) -> None:
         batch_wait_us=args.batch_wait_us,
         api_key=args.api_key,
     )
+    if args.grpc_port:
+        from .grpc_server import create_server
+
+        grpc_server, bound = create_server(qp, args.grpc_port, args.host)
+        grpc_server.start()
+        logging.getLogger("vector_db_api").info(
+            f"gRPC server listening on {args.host}:{bound}"
+        )
     api.run(host=args.host, port=args.port)
 
 
