@@ -246,6 +246,7 @@ class RestAPI:
         # approximate index lifecycle
         r.add_post("/ivf/build", self.ivf_build)
         r.add_delete("/ivf", self.ivf_drop)
+        r.add_post("/warmup", self.warmup)
         # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
         r.add_get("/trace", self.get_trace)
         r.add_get("/metrics", self.get_metrics)
@@ -627,6 +628,24 @@ class RestAPI:
         if not dropped:
             return _error(f"no IVF index on namespace {ns}", 404)
         return _json({"status": "success", "message": f"IVF dropped for {ns}"})
+
+    async def warmup(self, request: web.Request) -> web.Response:
+        try:
+            payload = await request.json()
+        except Exception:
+            payload = {}
+        ns = payload.get("namespace", request.query.get("namespace", "default"))
+        try:
+            ran = await self._run(
+                self.query_processor.warmup,
+                ns,
+                tuple(payload.get("ks", (10, 100))),
+                tuple(payload.get("batches", (1, 8, 128))),
+                tuple(payload.get("metrics", ("l2", "cosine"))),
+            )
+            return _json({"status": "success", "programs_warmed": ran})
+        except Exception as e:
+            return _error(f"warmup failed: {e}", 500)
 
     # ------------------------------------------------------------------ snapshots
 

@@ -396,6 +396,34 @@ class QueryProcessor:
     def get_statistics(self) -> Dict[str, Any]:
         return self.stats.as_dict()
 
+    def warmup(
+        self,
+        namespace: str = "default",
+        ks: Sequence[int] = (10, 100),
+        batches: Sequence[int] = (1, 8, 128),
+        metrics: Sequence[str] = ("l2", "cosine"),
+    ) -> int:
+        """Pre-compile the search programs a serving deployment will hit.
+
+        Each (capacity, batch-bucket, k-bucket, metric, variant) tuple is a separate XLA
+        compilation (~20-40 s cold on TPU); warming them before traffic arrives turns
+        first-query latency spikes into deploy-time work.  Returns programs executed.
+        """
+        ns = self.storage.namespace(namespace)
+        if ns is None or ns.live_count == 0:
+            return 0
+        ran = 0
+        q = np.zeros((1, ns.dim), np.float32)
+        for m in metrics:
+            for b in batches:
+                for k in ks:
+                    qb = np.repeat(q, b, axis=0)
+                    self.find_similar_batch(
+                        [VectorDTO(row) for row in qb], min(k, ns.live_count), namespace, m
+                    )
+                    ran += 1
+        return ran
+
     # ------------------------------------------------------------------ REST helpers
     # (parity with reference query_processor.py:64-82)
 

@@ -92,7 +92,12 @@ class ShardingManager:
 
         def local(q_loc, data_loc, valid_loc, sqn_loc):
             kk = min(k, shard_rows)
-            d, i = exact_knn(
+            # per-shard kernel: the fused Pallas path on TPU (masked variant — liveness
+            # is shard-local), which itself falls back to the XLA scan for small shards
+            # (CPU-simulated meshes in tests land there automatically)
+            from ..ops.pallas_knn import exact_knn_pallas
+
+            d, i = exact_knn_pallas(
                 q_loc, data_loc, valid_loc, sqn_loc,
                 k=kk, metric=metric, db_tile=min(db_tile, shard_rows),
             )

@@ -269,3 +269,10 @@ def test_auto_snapshot_roundtrip(qp, rng, tmp_path, small_config):
         qp.start_auto_snapshot(snap, 0.2)
         qp.start_auto_snapshot(snap, 0.2)
     qp.stop_auto_snapshot()
+
+
+def test_warmup_precompiles_buckets(qp, rng):
+    qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(30)], "ns")
+    ran = qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",))
+    assert ran == 2
+    assert qp.warmup("missing") == 0
