@@ -69,6 +69,7 @@ def update_centroids(data, assign, *, n_clusters: int, chunk: int = 65536):
         sums = sums + jax.lax.dot_general(
             onehot, rows.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16 passes; means need f32
         )  # [C, D]
         counts = counts + jnp.sum(onehot, axis=0)
         return (sums, counts), None
