@@ -67,7 +67,7 @@ class MicroBatcher:
         namespace: str = "default",
         metric: Optional[str] = None,
         filter: Optional[Dict[str, Any]] = None,
-        timeout: float = 30.0,
+        timeout: float = 180.0,  # must cover a cold XLA compile (~20-40 s, worse via relay)
     ) -> List[Dict[str, Any]]:
         """Same contract as QueryProcessor.find_similar, but batched across callers."""
         m = canonical_metric(metric or self.qp.config.default_metric)
