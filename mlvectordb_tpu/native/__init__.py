@@ -68,6 +68,11 @@ def load() -> Optional[ctypes.CDLL]:
         lib.mf_set.restype = ctypes.c_int
         lib.mf_set.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
         lib.mf_clear.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mf_set_many.restype = ctypes.c_int
+        lib.mf_set_many.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
         lib.mf_eval.restype = ctypes.c_int64
         lib.mf_eval.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
@@ -113,6 +118,26 @@ class MetaColumns:
         blob = json.dumps(metadata or {}, sort_keys=True, separators=(",", ":")).encode()
         with self._lock:
             return self._lib.mf_set(self._handle, slot, blob, len(blob)) == 0
+
+    def set_many(self, slots, metadatas) -> bool:
+        """Batch set: one native call for a whole upsert batch."""
+        blobs = [
+            json.dumps(m or {}, sort_keys=True, separators=(",", ":")).encode()
+            for m in metadatas
+        ]
+        concat = b"".join(blobs)
+        offsets = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        slots_arr = np.asarray(slots, np.int64)
+        with self._lock:
+            rc = self._lib.mf_set_many(
+                self._handle,
+                slots_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                concat,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(blobs),
+            )
+        return rc == 0
 
     def clear(self, slot: int) -> None:
         with self._lock:

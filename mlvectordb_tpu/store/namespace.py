@@ -232,13 +232,13 @@ class NamespaceStore:
 
             mc = self._ensure_meta_columns()
             if mc is not None:
-                for i, v in enumerate(vectors):
-                    if not mc.set(int(slots[i]), v.metadata):
-                        # metadata not representable natively: drop the mirror entirely
-                        # (filters fall back to Python for this namespace)
-                        self.meta_columns = None
-                        mc = None
-                        break
+                ok = mc.set_many(
+                    [int(s) for s in slots], [v.metadata for v in vectors]
+                )
+                if not ok:
+                    # metadata not representable natively: drop the mirror entirely
+                    # (filters fall back to Python for this namespace)
+                    self.meta_columns = None
 
             vals = np.zeros((len(vectors), self.dpad), np.float32)
             for i, v in enumerate(vectors):

@@ -664,6 +664,18 @@ int mf_set(void* h, int64_t slot, const char* json, int64_t len) {
 
 void mf_clear(void* h, int64_t slot) { static_cast<Store*>(h)->clear_slot(slot); }
 
+int mf_set_many(void* h, const int64_t* slots, const char* concat_json,
+                const int64_t* offsets, int64_t n) {
+  // offsets has n+1 entries delimiting each slot's JSON blob in concat_json
+  Store* st = static_cast<Store*>(h);
+  for (int64_t i = 0; i < n; i++) {
+    const char* p = concat_json + offsets[i];
+    size_t len = size_t(offsets[i + 1] - offsets[i]);
+    if (!st->set_meta(slots[i], p, len)) return -int(i) - 1;
+  }
+  return 0;
+}
+
 int64_t mf_eval(void* h, const char* filter_json, int64_t len, uint8_t* out_mask,
                 int64_t capacity) {
   Store* st = static_cast<Store*>(h);

@@ -174,3 +174,12 @@ def test_engine_uses_native_mask(small_config, rng):
     python_res = qp.find_similar(q, top_k=40, namespace="ns", filter={"odd": True})
     assert [r["id"] for r in native_res] == [r["id"] for r in python_res]
     assert len(native_res) == 20
+
+
+def test_set_many_matches_individual_sets():
+    metas = [{"i": i, "grp": "x" if i % 2 else "y"} for i in range(10)]
+    a = native.MetaColumns(10)
+    assert a.set_many(list(range(10)), metas)
+    b = make_store(metas)
+    for spec in ({"grp": "x"}, {"i": {"$gte": 5}}, {"i": 3}):
+        np.testing.assert_array_equal(a.eval(spec), b.eval(spec))
