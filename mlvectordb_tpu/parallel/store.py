@@ -166,7 +166,9 @@ class ShardedNamespaceStore(NamespaceStore):
                 {
                     k: v
                     for k, v in fresh.__dict__.items()
-                    if k not in ("_lock", "name", "config", "host_mirror", "sharding")
+                    # keep identity fields AND the IVF index: it keys by uuid over its own
+                    # cluster-major copies, so store-slot repacking cannot stale it
+                    if k not in ("_lock", "name", "config", "host_mirror", "sharding", "ivf")
                 }
             )
             self._tombstones = 0

@@ -200,3 +200,18 @@ def test_replication_detects_divergence(mesh24, rng):
     report = rm.reconcile(data, valid)
     assert report["consistent"] is False
     assert report["divergent_replicas"] == [1]
+
+
+def test_sharded_compaction_preserves_ivf(rng, small_config):
+    from mlvectordb_tpu import VectorDTO as V
+
+    qp = make_distributed_processor(1, 4, small_config)
+    vs = qp.upsert_many(
+        [V(rng.standard_normal(8).astype(np.float32)) for _ in range(100)], "ns"
+    )
+    qp.build_ivf("ns", n_clusters=4)
+    qp.delete([v.id for v in vs[:60]], "ns")  # triggers per-shard compaction
+    ns = qp.storage.namespace("ns")
+    assert ns._tombstones == 0 and ns.ivf is not None
+    res = qp.find_similar(VectorDTO(values=vs[80].values), top_k=1, namespace="ns", nprobe=4)
+    assert res[0]["id"] == vs[80].id
