@@ -114,6 +114,41 @@ class QueryProcessor:
                 ivf.delete(removed)
             return removed
 
+    def bulk_load(
+        self,
+        values,                              # [n, dim] array-like
+        namespace: str = "default",
+        ids=None,
+        metadatas=None,
+        batch_rows: int = 65536,
+    ):
+        """High-throughput vectorized ingestion (no per-vector Python objects).
+
+        Returns the list of uuids.  Batches bound peak host memory and keep device
+        scatter widths in the compiled-bucket range.  An attached IVF index is kept in
+        sync (assignment-batched).
+        """
+        values = np.ascontiguousarray(values, np.float32)
+        n = values.shape[0]
+        out = []
+        with self._write_lock, trace_span("bulk_load", namespace=namespace, count=n):
+            ns = self.storage.namespace(namespace, create=True)
+            for lo in range(0, n, batch_rows):
+                hi = min(lo + batch_rows, n)
+                out.extend(
+                    ns.bulk_upsert(
+                        values[lo:hi],
+                        ids[lo:hi] if ids is not None else None,
+                        metadatas[lo:hi] if metadatas is not None else None,
+                    )
+                )
+            ivf = getattr(ns, "ivf", None)
+            if ivf is not None:
+                ivf.add(
+                    [ns.get(vid) for vid in out]
+                )
+        return out
+
     def _sync_ivf_add(self, namespace: str, vectors: Sequence[Vector]) -> None:
         ns = self.storage.namespace(namespace)
         ivf = getattr(ns, "ivf", None) if ns is not None else None

@@ -276,3 +276,38 @@ def test_warmup_precompiles_buckets(qp, rng):
     ran = qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",))
     assert ran == 2
     assert qp.warmup("missing") == 0
+
+
+def test_bulk_load_matches_per_vector_path(qp, rng, small_config):
+    vals = rng.standard_normal((300, 8)).astype(np.float32)
+    metas = [{"i": i} for i in range(300)]
+    ids = qp.bulk_load(vals, "ns", metadatas=metas)
+    assert len(ids) == 300 and qp.get_namespace_count("ns") == 300
+    # content identical to what upsert_many would produce
+    got = qp.storage.read(ids[137], "ns")
+    np.testing.assert_array_equal(got.values, vals[137])
+    assert got.metadata == {"i": 137}
+    # searchable + filterable immediately
+    res = qp.find_similar(dto(vals[42]), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == ids[42] and res[0]["score"] == pytest.approx(0.0, abs=1e-6)
+    res = qp.find_similar(dto(vals[10]), top_k=5, namespace="ns", filter={"i": {"$lt": 5}})
+    assert all(r["metadata"]["i"] < 5 for r in res) and len(res) == 5
+
+    # explicit-id bulk overwrite
+    qp.bulk_load(np.ones((1, 8), np.float32), "ns", ids=[ids[0]], metadatas=[{"new": 1}])
+    assert qp.get_namespace_count("ns") == 300
+    assert qp.storage.read(ids[0], "ns").metadata == {"new": 1}
+
+    # multi-batch path
+    ids2 = qp.bulk_load(rng.standard_normal((100, 8)).astype(np.float32), "ns2", batch_rows=32)
+    assert len(ids2) == 100 and qp.get_namespace_count("ns2") == 100
+
+
+def test_bulk_load_keeps_ivf_in_sync(qp, rng):
+    vals = rng.standard_normal((100, 8)).astype(np.float32)
+    qp.bulk_load(vals, "ns")
+    qp.build_ivf("ns", n_clusters=4)
+    new_vals = rng.standard_normal((20, 8)).astype(np.float32)
+    new_ids = qp.bulk_load(new_vals, "ns")
+    res = qp.find_similar(dto(new_vals[3]), top_k=1, namespace="ns", nprobe=4)
+    assert res[0]["id"] == new_ids[3]
