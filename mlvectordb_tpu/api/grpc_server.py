@@ -16,7 +16,7 @@ import json
 import logging
 import uuid as uuid_mod
 from concurrent import futures
-from typing import Optional
+
 
 import numpy as np
 

@@ -57,7 +57,7 @@ def exact_knn(
         idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, db_blk.shape[0]), 1)
         return d, jnp.broadcast_to(idx, d.shape)
 
-    if cap <= tile or cap % tile != 0:
+    if cap <= tile:
         d, idx = block(data, sq_norms, valid, 0)
         kk = min(k, cap)
         neg_top, pos = jax.lax.top_k(-d, kk)
@@ -68,6 +68,15 @@ def exact_knn(
             best_d = jnp.concatenate([best_d, pad_d], axis=1)
             best_i = jnp.concatenate([best_i, pad_i], axis=1)
         return best_d, best_i
+
+    if cap % tile != 0:
+        # odd tiling (only reachable with custom configs): pad to a tile multiple with
+        # masked slots rather than materializing a one-shot [B, cap] distance matrix
+        pad = tile - cap % tile
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+        sq_norms = jnp.pad(sq_norms, (0, pad))
+        valid = jnp.pad(valid, (0, pad))  # False => masked
+        cap = cap + pad
 
     n_tiles = cap // tile
     data_t = data.reshape(n_tiles, tile, data.shape[1])

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.topk import exact_knn, merge_topk
+from ..ops.topk import merge_topk
 from .mesh import REPLICA_AXIS, SHARD_AXIS
 
 

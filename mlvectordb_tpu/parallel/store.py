@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..store.namespace import NamespaceStore
-from .mesh import SHARD_AXIS
+
 from .sharding import ShardingManager
 
 

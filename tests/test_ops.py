@@ -95,3 +95,15 @@ def test_bfloat16_storage_still_finds_neighbors(rng):
     dist, idx = _run(q, db.astype(jnp.bfloat16), np.ones(n, bool), 5, "cosine", 64)
     assert np.asarray(idx)[0, 0] == 5
     assert np.asarray(idx)[1, 0] == 17
+
+
+def test_odd_tile_sizes_stay_chunked(rng, oracle):
+    # cap not a multiple of db_tile: pad-to-tiles path (never a [B, cap] one-shot)
+    n, dim, k = 500, 32, 7
+    db = rng.standard_normal((n, dim), dtype=np.float32)
+    q = rng.standard_normal((3, dim), dtype=np.float32)
+    dist, idx = _run(q, db, np.ones(n, bool), k, "l2", 150)
+    o_dist, o_idx = oracle(q, db, k, "l2")
+    np.testing.assert_allclose(np.asarray(dist), o_dist, rtol=2e-4, atol=2e-4)
+    for b in range(3):
+        assert set(np.asarray(idx)[b].tolist()) == set(o_idx[b].tolist())
