@@ -88,11 +88,15 @@ def main() -> int:
                           "vs_baseline": 0.0}))
         return 1
 
-    # ---- engine throughput (on-device, RTT-cancelled) -----------------------------
+    # ---- engine throughput (on-device, RTT-cancelled, best of 3 — the shared relay
+    # adds heavy run-to-run noise) ---------------------------------------------------
     log("timing engine throughput ...")
-    t_batch = device_seconds_per_call(
-        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
-        [q, db, valid, sq], iters=12,
+    t_batch = min(
+        device_seconds_per_call(
+            lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
+            [q, db, valid, sq], iters=12,
+        )
+        for _ in range(3)
     )
     engine_qps = B_THROUGHPUT / t_batch
     log(f"engine: {t_batch*1e3:.3f} ms / {B_THROUGHPUT} queries = {engine_qps:,.0f} QPS/chip")

@@ -44,7 +44,9 @@ def save_storage(storage: StorageEngine, path: str) -> List[str]:
             continue
         snap = ns.snapshot_arrays()
         base = _ns_file(i)
-        np.savez_compressed(os.path.join(path, base + ".npz"), values=snap["values"])
+        # uncompressed: float32 embeddings are near-incompressible and zlib makes
+        # million-row snapshots minutes-slow for ~0% size win
+        np.savez(os.path.join(path, base + ".npz"), values=snap["values"])
         with open(os.path.join(path, base + ".json"), "w") as f:
             json.dump(
                 {"name": snap["name"], "dim": snap["dim"], "ids": snap["ids"],
