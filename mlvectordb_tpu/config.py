@@ -88,6 +88,11 @@ class EngineConfig:
     # elsewhere (CPU simulation, interpret mode).
     use_pallas: bool = True
 
+    # Query-result cache entries (0 disables).  Keyed by namespace version, so any
+    # mutation invalidates implicitly.  Realizes the result caching the reference README
+    # advertises but never shipped (SURVEY.md §0.1).
+    result_cache_size: int = 1024
+
     def bucket_batch(self, n: int) -> int:
         for b in self.query_buckets:
             if n <= b:

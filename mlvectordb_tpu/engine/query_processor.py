@@ -38,6 +38,7 @@ from ..interfaces.vector import VectorDTO
 from ..store.storage import StorageEngine
 from ..store.vector import Vector
 from ..utils.tracing import trace_span
+from ..filters import filter_cache_key
 from .filters import FilterMaskCache
 
 
@@ -78,6 +79,22 @@ class QueryProcessor:
         self._filter_masks = FilterMaskCache()
         self.stats = QueryStats()
         self._write_lock = threading.RLock()  # single-writer discipline (SURVEY.md §7)
+        # query-result cache (the reference README advertises result caching it never
+        # shipped — SURVEY.md §0.1).  Keyed by namespace VERSION, so any mutation
+        # invalidates implicitly; stores the final hydrated result lists.
+        self._result_cache: Dict[Any, List[List[Dict[str, Any]]]] = {}
+        self._result_cache_hits = 0
+        self._result_cache_lock = threading.Lock()
+
+    def _result_cache_key(self, q_np, top_k, namespace, metric, filter, nprobe):
+        ns = self.storage.namespace(namespace)
+        if ns is None or self.config.result_cache_size <= 0:
+            return None
+        import hashlib
+
+        h = hashlib.blake2b(q_np.tobytes(), digest_size=16).hexdigest()
+        fk = filter_cache_key(filter) if filter else ""
+        return (namespace, ns.version, h, top_k, metric, fk, nprobe)
 
     # ------------------------------------------------------------------ writes
 
@@ -312,6 +329,16 @@ class QueryProcessor:
         t0 = time.perf_counter()
         m = canonical_metric(metric or self.config.default_metric)
         q_np = np.stack([np.asarray(q.values, np.float32).reshape(-1) for q in queries])
+
+        cache_key = self._result_cache_key(q_np, top_k, namespace, m, filter, nprobe)
+        if cache_key is not None:
+            with self._result_cache_lock:
+                hit = self._result_cache.get(cache_key)
+            if hit is not None:
+                self._result_cache_hits += 1
+                self.stats.record("cache_hit", (time.perf_counter() - t0) * 1e3)
+                return hit
+
         dist, slots, ns, resolver = self._raw_search(
             q_np, namespace, top_k, m, filter, nprobe
         )
@@ -326,6 +353,11 @@ class QueryProcessor:
                 ]
         kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
         self.stats.record(kind, (time.perf_counter() - t0) * 1e3)
+        if cache_key is not None:
+            with self._result_cache_lock:
+                if len(self._result_cache) >= self.config.result_cache_size:
+                    self._result_cache.clear()
+                self._result_cache[cache_key] = results
         return results
 
     def _hydrate_scored(self, user_row, dist_row, slot_row, ns, resolver=None) -> List[Dict[str, Any]]:

@@ -48,6 +48,9 @@ class SearchIndex:
             config = dataclasses.replace(config, rebuild_threshold=rebuild_threshold)
         self.config = config
         self._namespaces: Dict[str, NamespaceStore] = {}
+        from ..filters import FilterMaskCache
+
+        self._filter_masks = FilterMaskCache()
 
     # ------------------------------------------------------------------ protocol
 
@@ -71,7 +74,10 @@ class SearchIndex:
         k: int,
         namespace: str = "default",
         metric: Optional[str] = None,
+        filter: Optional[Dict] = None,
     ) -> List[SearchResult]:
+        """``filter``: optional metadata predicate (the Filter parameter the reference
+        README draws on Index.search but never implements — SURVEY.md §0.1)."""
         ns = self._namespaces.get(namespace)
         if ns is None or ns.live_count == 0 or k <= 0:
             return []  # missing namespace -> [] (reference index.py:98-99)
@@ -91,15 +97,24 @@ class SearchIndex:
         q_pad[0, : ns.dim] = q
 
         state = ns.device_state()
+        valid = state.valid
         live_prefix = ns._high_water if ns.live_count == ns._high_water else None
+        if filter:
+            mask = self._filter_masks.mask_for(ns, filter)
+            valid = jnp.logical_and(valid, jnp.asarray(mask))
+            live_prefix = None
         dist, idx = knn_backend(self.config)(
-            jnp.asarray(q_pad), state.data, state.valid, state.sq_norms,
+            jnp.asarray(q_pad), state.data, valid, state.sq_norms,
             k=kb, metric=m, db_tile=self.config.db_tile, live_prefix=live_prefix,
         )
         dist = np.asarray(dist)[0, :k_eff]
         idx = np.asarray(idx)[0, :k_eff]
         out = []
+        from ..ops.distances import MASKED
+
         for d, slot in zip(dist.tolist(), idx.tolist()):
+            if d >= float(MASKED) / 2:  # masked filler (fewer matches than k)
+                continue
             vid = ns.slot_to_id(int(slot))
             if vid is None:
                 continue

@@ -311,3 +311,30 @@ def test_bulk_load_keeps_ivf_in_sync(qp, rng):
     new_ids = qp.bulk_load(new_vals, "ns")
     res = qp.find_similar(dto(new_vals[3]), top_k=1, namespace="ns", nprobe=4)
     assert res[0]["id"] == new_ids[3]
+
+
+def test_result_cache_hits_and_invalidates(qp, rng):
+    vs = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(20)], "ns")
+    q = dto(vs[3].values)
+    r1 = qp.find_similar(q, top_k=3, namespace="ns", metric="l2")
+    r2 = qp.find_similar(q, top_k=3, namespace="ns", metric="l2")
+    assert r2 == r1
+    assert qp._result_cache_hits == 1
+    assert qp.get_statistics()["queries_by_type"].get("cache_hit") == 1
+    # any mutation bumps the namespace version -> implicit invalidation
+    nv = qp.insert(dto(vs[3].values), "ns")  # exact duplicate, closer than everything else
+    r3 = qp.find_similar(q, top_k=3, namespace="ns", metric="l2")
+    assert qp._result_cache_hits == 1  # miss after mutation
+    assert {r3[0]["id"], r3[1]["id"]} == {vs[3].id, nv.id}
+
+
+def test_result_cache_disabled(rng, small_config):
+    import dataclasses
+
+    cfg = dataclasses.replace(small_config, result_cache_size=0)
+    qp = QueryProcessor(config=cfg)
+    vs = qp.upsert_many([dto(rng.standard_normal(4).astype(np.float32)) for _ in range(5)], "ns")
+    q = dto(vs[0].values)
+    qp.find_similar(q, 2, "ns")
+    qp.find_similar(q, 2, "ns")
+    assert qp._result_cache_hits == 0 and not qp._result_cache

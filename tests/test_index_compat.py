@@ -115,3 +115,17 @@ def test_backup_restore_aliases(rng, small_config, tmp_path):
     qp.restore_from_backup(str(tmp_path / "b"))
     assert qp.get_namespace_count("ns") == 1
     assert qp.storage.read(v.id, "ns") is not None
+
+
+def test_index_search_with_filter(rng, small_config):
+    idx = SearchIndex(space="l2", config=small_config)
+    vecs = [
+        Vector(rng.standard_normal(8).astype(np.float32), {"grp": "a" if i % 2 else "b"})
+        for i in range(30)
+    ]
+    idx.add(vecs, "ns")
+    q = rng.standard_normal(8).astype(np.float32)
+    res = idx.search(q, k=30, namespace="ns", filter={"grp": "a"})
+    a_ids = {v.id for v in vecs if v.metadata["grp"] == "a"}
+    assert {r.vector_id for r in res} == a_ids
+    assert len(res) == 15  # masked fillers never surface
