@@ -1,0 +1,132 @@
+"""Scatter-gather router: two real backend servers + the coordinator, in one process.
+
+This is the cross-node topology (service-level sharding over DCN) — writes route by
+uuid hash to exactly one backend, searches broadcast and merge, aggregation endpoints
+sum.  Complements the in-process mesh tests in test_parallel.py."""
+
+import asyncio
+import uuid
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from mlvectordb_tpu import QueryProcessor
+from mlvectordb_tpu.api.rest_api import RestAPI
+from mlvectordb_tpu.api.router import RouterAPI, _merge_results
+
+
+def test_merge_results_conventions():
+    a = [{"id": "1", "score": 0.9}, {"id": "2", "score": 0.5}]
+    b = [{"id": "3", "score": 0.7}]
+    out = _merge_results([a, b], 2, "cosine")  # higher better
+    assert [r["id"] for r in out] == ["1", "3"]
+    a = [{"id": "1", "score": 0.1}, {"id": "2", "score": 5.0}]
+    b = [{"id": "3", "score": 0.2}]
+    out = _merge_results([a, b], 2, "l2")  # lower better
+    assert [r["id"] for r in out] == ["1", "3"]
+
+
+def test_router_end_to_end(small_config, rng):
+    async def runner():
+        # two real backends
+        qps = [QueryProcessor(config=small_config) for _ in range(2)]
+        apis = [RestAPI(qp, enable_file_logging=False, log_level="WARNING") for qp in qps]
+        clients = [TestClient(TestServer(a.app)) for a in apis]
+        for c in clients:
+            await c.start_server()
+        backends = [str(c.make_url("")).rstrip("/") for c in clients]
+
+        router = RouterAPI(backends)
+        rclient = TestClient(TestServer(router.app))
+        await rclient.start_server()
+        try:
+            # batch upsert through the router: rows split across backends by id hash
+            vecs = [
+                {"values": rng.standard_normal(8).astype(float).tolist(), "metadata": {"i": i}}
+                for i in range(40)
+            ]
+            resp = await rclient.put("/vectors/batch?namespace=ns", json={"vectors": vecs})
+            assert resp.status == 200
+            body = await resp.json()
+            ids = [uuid.UUID(x) for x in body["ids"]]
+            counts = [qp.get_namespace_count("ns") for qp in qps]
+            assert sum(counts) == 40
+            assert all(c > 0 for c in counts), f"hash routing landed everything on one: {counts}"
+            # owner invariant: each id lives on exactly its hash-designated backend
+            for i, vid in enumerate(ids):
+                owner = vid.int % 2
+                assert qps[owner].storage.read(vid, "ns") is not None
+                assert qps[1 - owner].storage.read(vid, "ns") is None
+
+            # search broadcasts + merges: global top-1 is the stored vector itself
+            resp = await rclient.post(
+                "/search?namespace=ns",
+                json={"query": vecs[7]["values"], "top_k": 3, "metric": "l2"},
+            )
+            results = await resp.json()
+            assert uuid.UUID(results[0]["id"]) == ids[7]
+            assert results[0]["score"] == pytest.approx(0.0, abs=1e-5)
+            # merged list is globally sorted
+            scores = [r["score"] for r in results]
+            assert scores == sorted(scores)
+
+            # router-level single insert routes to the owner
+            resp = await rclient.post(
+                "/vectors?namespace=ns", json={"values": [9.0] * 8, "metadata": {"x": 1}}
+            )
+            assert resp.status == 201
+            new_id = uuid.UUID((await resp.json())["id"])
+            assert qps[new_id.int % 2].storage.read(new_id, "ns") is not None
+
+            # delete fans out to owners only
+            resp = await rclient.delete(
+                "/vectors?namespace=ns", json={"ids": [str(ids[0]), str(ids[1])]}
+            )
+            body = await resp.json()
+            assert body == {"status": "success", "message": "2 vectors deleted"}
+
+            # aggregation endpoints
+            info = await (await rclient.get("/storage/info")).json()
+            assert info["total_vectors"] == 39 and info["backend_count"] == 2
+            assert info["vectors_per_namespace"]["ns"] == 39
+            ns_list = await (await rclient.get("/namespaces")).json()
+            assert ns_list["namespaces"] == ["ns"]
+            health = await (await rclient.get("/health")).json()
+            assert health == {"status": "healthy", "backends_up": 2, "backends_total": 2}
+        finally:
+            await rclient.close()
+            for c in clients:
+                await c.close()
+
+    asyncio.run(runner())
+
+
+def test_router_degrades_when_backend_down(small_config, rng):
+    async def runner():
+        qp = QueryProcessor(config=small_config)
+        api = RestAPI(qp, enable_file_logging=False, log_level="WARNING")
+        client = TestClient(TestServer(api.app))
+        await client.start_server()
+        live = str(client.make_url("")).rstrip("/")
+        dead = "http://127.0.0.1:1"  # nothing listens here
+
+        router = RouterAPI([live, dead])  # unreachable backends degrade, never crash
+        rclient = TestClient(TestServer(router.app))
+        await rclient.start_server()
+        try:
+            health = await rclient.get("/health")
+            assert health.status == 503
+            body = await health.json()
+            assert body["status"] == "degraded" and body["backends_up"] == 1
+
+            # searches still serve from the live backend
+            await client.post("/vectors?namespace=ns", json={"values": [1.0, 2.0]})
+            resp = await rclient.post("/search?namespace=ns", json={"query": [1.0, 2.0], "metric": "l2"})
+            assert resp.status == 200
+            assert len(await resp.json()) == 1
+        finally:
+            await rclient.close()
+            await client.close()
+
+    asyncio.run(runner())
