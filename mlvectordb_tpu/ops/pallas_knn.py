@@ -57,17 +57,20 @@ from .distances import MASKED
 from .topk import exact_knn
 
 # database rows per level-1 window (W = DB_TILE/R1 lanes of output per tile).
-# Batch-adaptive: small batches want wide windows (the [N/R1, B] output is lane-padded, so
-# narrow batches with small R1 pay massive write amplification); large batches want narrow
-# windows (smaller rescan gathers dominate).  Measured on v5e, 1M x 128 f32 k=10:
-#   B=8:   R1=32 ~0.4 ms   R1=8 ~1.1 ms
-#   B=128: R1=32 ~2.5 ms   R1=8 ~0.87 ms (148K QPS)
-def _pick_r1(batch: int) -> int:
+# Adaptive: the window-min output costs ~2*N*B*4/r1 bytes of HBM traffic while the
+# phase-2 rescan costs ~B*s*r1 row-gathers, so the optimum is r1* ~ sqrt(N / (256*s))
+# with s = k+16 — which matches measurement on v5e (1M f32 k=10 B=128: r1=8 0.87 ms vs
+# r1=32 2.5 ms; 8.4M bf16 k=10 B=128: r1=16 best; k=100 at 1M: r1=8 +75% QPS).  Small
+# batches instead pin r1=32: narrow [N/r1, B] outputs are lane-padded, so B=8 with small
+# r1 pays up to 16x write amplification (measured 1.1 ms vs 0.4 ms).
+def _pick_r1(batch: int, n_rows: int, k: int) -> int:
     if batch <= 32:
         return 32
-    if batch < 128:
-        return 16
-    return 8
+    opt = (n_rows / (256.0 * (k + 16))) ** 0.5
+    for r1 in (8, 16, 32):
+        if opt <= r1 * 1.5:
+            return r1
+    return 32
 # level-1 windows per level-2 window
 R2 = 32
 # rows per phase-1 grid step along the database axis
@@ -290,7 +293,7 @@ def exact_knn_pallas(
     B = q.shape[0]
     tile = DB_TILE
     qt_w = min(Q_TILE, B)
-    r1 = _pick_r1(B)
+    r1 = _pick_r1(B, cap, k)
     if (
         cap < 2 * tile
         or cap % tile != 0
