@@ -1,0 +1,131 @@
+"""Sustained mixed-workload load test against a running REST server.
+
+BASELINE config #5's serving shape: concurrent search traffic with streaming
+upserts/deletes underneath.  Reports achieved QPS and latency percentiles per op.
+
+    python -m mlvectordb_tpu.api.server --port 8000 --auto-batch &
+    python benchmarks/load_test.py --base http://localhost:8000 \
+        --clients 64 --duration 30 --write-fraction 0.05
+
+The micro-batcher matters here: N concurrent single-query requests coalesce into shared
+kernel launches, so concurrency multiplies throughput instead of queueing it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import random
+import sys
+import time
+
+import aiohttp
+import numpy as np
+
+
+async def seed(session, base, ns, dim, n):
+    vecs = [
+        {"values": np.random.randn(dim).astype(float).tolist(), "metadata": {"i": i}}
+        for i in range(n)
+    ]
+    async with session.put(f"{base}/vectors/batch?namespace={ns}", json={"vectors": vecs}) as r:
+        body = await r.json()
+        assert r.status == 200, body
+        return body["ids"]
+
+
+async def client_loop(session, base, ns, dim, stop_at, write_fraction, ids, stats):
+    rnd = random.Random()
+    while time.perf_counter() < stop_at:
+        t0 = time.perf_counter()
+        try:
+            if rnd.random() < write_fraction and ids:
+                if rnd.random() < 0.5:  # overwrite
+                    vid = rnd.choice(ids)
+                    payload = {"values": np.random.randn(dim).astype(float).tolist(), "id": vid}
+                    async with session.post(f"{base}/vectors?namespace={ns}", json=payload) as r:
+                        await r.read()
+                        ok = r.status == 201
+                    op = "upsert"
+                else:  # delete + reinsert to keep corpus stable
+                    vid = rnd.choice(ids)
+                    async with session.delete(
+                        f"{base}/vectors?namespace={ns}", json={"ids": [vid]}
+                    ) as r:
+                        await r.read()
+                        ok = r.status == 200
+                    payload = {"values": np.random.randn(dim).astype(float).tolist(), "id": vid}
+                    async with session.post(f"{base}/vectors?namespace={ns}", json=payload) as r:
+                        await r.read()
+                    op = "delete"
+            else:
+                q = np.random.randn(dim).astype(float).tolist()
+                async with session.post(
+                    f"{base}/search?namespace={ns}",
+                    json={"query": q, "top_k": 10, "metric": "l2"},
+                ) as r:
+                    body = await r.json()
+                    ok = r.status == 200 and isinstance(body, list)
+                op = "search"
+        except Exception:
+            op, ok = "error", False
+        stats.setdefault(op, []).append((time.perf_counter() - t0, ok))
+
+
+async def run(args):
+    stats: dict = {}
+    timeout = aiohttp.ClientTimeout(total=600)
+    async with aiohttp.ClientSession(timeout=timeout) as session:
+        print(f"seeding {args.seed_rows} rows ...", file=sys.stderr)
+        ids = await seed(session, args.base, args.namespace, args.dim, args.seed_rows)
+        # warm the compiled programs before measuring
+        q = np.random.randn(args.dim).astype(float).tolist()
+        async with session.post(
+            f"{args.base}/search?namespace={args.namespace}",
+            json={"query": q, "top_k": 10, "metric": "l2"},
+        ) as r:
+            await r.read()
+
+        print(f"running {args.clients} clients for {args.duration}s ...", file=sys.stderr)
+        stop_at = time.perf_counter() + args.duration
+        t0 = time.perf_counter()
+        await asyncio.gather(
+            *[
+                client_loop(session, args.base, args.namespace, args.dim, stop_at,
+                            args.write_fraction, ids, stats)
+                for _ in range(args.clients)
+            ]
+        )
+        elapsed = time.perf_counter() - t0
+
+    out = {"elapsed_s": round(elapsed, 2), "clients": args.clients}
+    for op, samples in stats.items():
+        lat = sorted(s[0] for s in samples)
+        okc = sum(1 for s in samples if s[1])
+        out[op] = {
+            "count": len(samples),
+            "ok": okc,
+            "qps": round(len(samples) / elapsed, 1),
+            "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+            "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
+        }
+    print(json.dumps(out))
+    return 0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", default="http://localhost:8000")
+    p.add_argument("--namespace", default="loadtest")
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--seed-rows", type=int, default=20000)
+    p.add_argument("--clients", type=int, default=64)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--write-fraction", type=float, default=0.05)
+    args = p.parse_args()
+    return asyncio.run(run(args))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

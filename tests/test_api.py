@@ -21,9 +21,15 @@ def api_test(fn):
 
     def wrapper(small_config):
         async def runner():
+            import aiohttp
+
             qp = QueryProcessor(config=small_config)
             api = RestAPI(qp, enable_file_logging=False, log_level="WARNING")
-            client = TestClient(TestServer(api.app))
+            # generous client timeout: on real TPUs a cold compile inside a handler can
+            # exceed aiohttp's 5-minute default
+            client = TestClient(
+                TestServer(api.app), timeout=aiohttp.ClientTimeout(total=1200)
+            )
             await client.start_server()
             try:
                 await fn(client, qp)
