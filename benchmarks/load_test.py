@@ -79,13 +79,15 @@ async def run(args):
     async with aiohttp.ClientSession(timeout=timeout) as session:
         print(f"seeding {args.seed_rows} rows ...", file=sys.stderr)
         ids = await seed(session, args.base, args.namespace, args.dim, args.seed_rows)
-        # warm the compiled programs before measuring
-        q = np.random.randn(args.dim).astype(float).tolist()
+        # warm every (variant, batch-bucket, k-bucket) program the load will hit —
+        # a cold XLA compile mid-measurement would otherwise dominate the numbers
+        print("warming compiled programs ...", file=sys.stderr)
         async with session.post(
-            f"{args.base}/search?namespace={args.namespace}",
-            json={"query": q, "top_k": 10, "metric": "l2"},
+            f"{args.base}/warmup",
+            json={"namespace": args.namespace, "ks": [10], "metrics": ["l2"],
+                  "batches": [1, 8, 64]},
         ) as r:
-            await r.read()
+            print("warmup:", await r.json(), file=sys.stderr)
 
         print(f"running {args.clients} clients for {args.duration}s ...", file=sys.stderr)
         stop_at = time.perf_counter() + args.duration

@@ -481,14 +481,21 @@ class QueryProcessor:
             return 0
         ran = 0
         q = np.zeros((1, ns.dim), np.float32)
-        for m in metrics:
-            for b in batches:
-                for k in ks:
-                    qb = np.repeat(q, b, axis=0)
-                    self.find_similar_batch(
-                        [VectorDTO(row) for row in qb], min(k, ns.live_count), namespace, m
-                    )
-                    ran += 1
+        # warm BOTH kernel variants: fast (no tombstones) and masked (tombstones/filters
+        # present) — a serving namespace flips between them as deletes come and go
+        sentinel = self.insert(VectorDTO(np.zeros(ns.dim, np.float32), {"__warmup__": True}), namespace)
+        self.delete([sentinel.id], namespace)  # leaves a tombstone -> masked variant
+        for variant in ("masked", "fast"):
+            for m in metrics:
+                for b in batches:
+                    for k in ks:
+                        qb = np.repeat(q, b, axis=0)
+                        self.find_similar_batch(
+                            [VectorDTO(row) for row in qb], min(k, ns.live_count), namespace, m
+                        )
+                        ran += 1
+            if variant == "masked":
+                ns.compact()  # clears the tombstone so the fast variant compiles too
         return ran
 
     # ------------------------------------------------------------------ REST helpers

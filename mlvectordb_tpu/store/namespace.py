@@ -43,9 +43,16 @@ class DeviceState(NamedTuple):
     sq_norms: jax.Array  # [cap] f32
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+# NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
+# but a search dispatched a moment earlier may still hold the old buffer inside a Pallas
+# custom call — and on the axon TPU runtime that race doesn't surface as the catchable
+# "Array has been deleted" dispatch error (which the engine's RCU retry handles); it
+# hard-poisons the backend with INVALID_ARGUMENT for every subsequent operation
+# (reproduced under mixed search/write load).  Copy-on-write costs one device-side array
+# copy per write batch (~0.7 ms per 512 MB at HBM speed) and buys true snapshot isolation.
+@jax.jit
 def _scatter_rows(data, valid, sq_norms, slots, vals):
-    """Device-side upsert: scatter rows + norms, set liveness."""
+    """Device-side upsert: scatter rows + norms, set liveness (copy-on-write)."""
     vals32 = vals.astype(jnp.float32)
     data = data.at[slots].set(vals32.astype(data.dtype))
     sq_norms = sq_norms.at[slots].set(jnp.sum(vals32 * vals32, axis=-1))
@@ -53,9 +60,9 @@ def _scatter_rows(data, valid, sq_norms, slots, vals):
     return data, valid, sq_norms
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _clear_slots(valid, slots):
-    """Device-side delete: tombstone = mask clear (no data movement)."""
+    """Device-side delete: tombstone = mask clear (copy-on-write)."""
     return valid.at[slots].set(False)
 
 

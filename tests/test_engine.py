@@ -274,7 +274,8 @@ def test_auto_snapshot_roundtrip(qp, rng, tmp_path, small_config):
 def test_warmup_precompiles_buckets(qp, rng):
     qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(30)], "ns")
     ran = qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",))
-    assert ran == 2
+    assert ran == 4  # 2 batch buckets x 2 kernel variants (fast + masked)
+    assert qp.get_namespace_count("ns") == 30  # warmup sentinel cleaned up
     assert qp.warmup("missing") == 0
 
 
