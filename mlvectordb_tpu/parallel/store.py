@@ -154,6 +154,7 @@ class ShardedNamespaceStore(NamespaceStore):
     def compact(self) -> None:
         """Per-shard repack: rebuild as a fresh sharded store and swap state in."""
         with self._lock:
+            old_version = self.version
             vectors = self.all_vectors()
             fresh = ShardedNamespaceStore(
                 self.name, self.sharding, self.config, self.host_mirror
@@ -172,7 +173,12 @@ class ShardedNamespaceStore(NamespaceStore):
                 }
             )
             self._tombstones = 0
-            self.version += 1
+            # version must stay MONOTONIC across the state swap: fresh's counter starts
+            # at 0 and could collide with a pre-compaction version, resurrecting stale
+            # filter-mask / result-cache entries keyed by (version, capacity) whose slot
+            # layout no longer exists (found by the sharded model-based fuzz: a stale
+            # mask ANDed with the repacked liveness masked out the whole namespace)
+            self.version = max(old_version, self.version) + 1
             self._publish()
 
     # ------------------------------------------------------------------ search

@@ -64,12 +64,21 @@ class NaiveModel:
         return [(rows[i][0], float(d[i])) for i in order]
 
 
+def _make_qp(kind, config):
+    if kind == "sharded":
+        from mlvectordb_tpu.parallel import make_distributed_processor
+
+        return make_distributed_processor(2, 4, config)
+    return QueryProcessor(config=config)
+
+
+@pytest.mark.parametrize("kind", ["single", "sharded"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_operation_sequences(small_config, seed):
+def test_random_operation_sequences(small_config, seed, kind):
     rnd = random.Random(seed)
     nprng = np.random.default_rng(seed)
     dim = 12
-    qp = QueryProcessor(config=small_config)
+    qp = _make_qp(kind, small_config)
     model = NaiveModel()
     namespaces = ["a", "b"]
     all_ids = []
@@ -105,11 +114,18 @@ def test_random_operation_sequences(small_config, seed):
             removed = qp.delete(ids, name)
             expect = model.delete(name, ids)
             assert set(removed) == set(expect), f"step {step}"
-        elif op < 0.65:  # explicit compaction
+        elif op < 0.63:  # explicit compaction
             ns = qp.storage.namespace(name)
             if ns is not None:
                 ns.compact()
-        elif op < 0.7:  # snapshot round-trip mid-sequence
+        elif op < 0.66:  # vectorized bulk ingestion path
+            n = rnd.randint(1, 20)
+            vals = nprng.standard_normal((n, dim)).astype(np.float32)
+            metas = [rand_meta(step * 1000 + j) for j in range(n)]
+            new_ids = qp.bulk_load(vals, name, metadatas=metas)
+            model.upsert(name, list(zip(new_ids, vals, metas)))
+            all_ids.extend((name, vid) for vid in new_ids)
+        elif op < 0.7 and kind == "single":  # snapshot round-trip mid-sequence
             import tempfile
 
             with tempfile.TemporaryDirectory() as td:
