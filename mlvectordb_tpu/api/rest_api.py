@@ -63,6 +63,7 @@ class BatchSearchRequest(BaseModel):
     top_k: int = Field(10, ge=1, le=1000)
     metric: str = Field("cosine")
     filter: Optional[Dict[str, Any]] = None
+    nprobe: Optional[int] = Field(None, ge=1)
 
 
 class VectorDeleteRequest(BaseModel):
@@ -339,6 +340,7 @@ class RestAPI:
                 ns,
                 body.metric,
                 body.filter,
+                body.nprobe,
             )
             return _json(results)
         except Exception as e:

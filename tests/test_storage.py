@@ -191,3 +191,36 @@ def test_capacity_growth_preserves_data(storage, rng):
     storage.write_vectors(vs, "ns")  # forces several power-of-two growths from 64
     for v in vs[::37]:
         np.testing.assert_array_equal(storage.read(v.id, "ns").values, v.values)
+
+
+def test_host_mirror_disabled_reads_from_device(small_config, rng):
+    """host_mirror=False: reads fetch rows from HBM instead of the host copy —
+    halves host memory for read-light deployments."""
+    storage = StorageEngine(small_config, host_mirror=False)
+    vs = [vec(rng.standard_normal(16).astype(np.float32), {"i": i}) for i in range(30)]
+    storage.write_vectors(vs, "ns")
+    got = storage.read(vs[7].id, "ns")
+    np.testing.assert_allclose(got.values, vs[7].values, rtol=1e-6)
+    assert got.metadata == {"i": 7}
+    assert got.values.shape == (16,)
+    # batch read + iterate work through the device-fetch path too
+    got2 = storage.read_vectors([vs[1].id, vs[2].id], "ns")
+    np.testing.assert_allclose(got2[0].values, vs[1].values, rtol=1e-6)
+    assert {v.id for v in storage.iterate_vectors("ns")} == {v.id for v in vs}
+
+
+def test_host_mirror_disabled_through_engine(small_config, rng):
+    from mlvectordb_tpu import QueryProcessor, VectorDTO
+
+    storage = StorageEngine(small_config, host_mirror=False)
+    qp = QueryProcessor(storage, small_config)
+    vs = qp.upsert_many(
+        [VectorDTO(rng.standard_normal(8).astype(np.float32), {"i": i}) for i in range(20)], "ns"
+    )
+    res = qp.find_similar(VectorDTO(vs[3].values), top_k=2, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[3].id
+    np.testing.assert_allclose(res[0]["values"], vs[3].values, rtol=1e-6)
+    # delete + compaction keep working without host copies
+    qp.delete([v.id for v in vs[:15]], "ns")
+    res = qp.find_similar(VectorDTO(vs[17].values), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[17].id
