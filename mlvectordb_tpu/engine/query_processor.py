@@ -337,7 +337,9 @@ class QueryProcessor:
             if hit is not None:
                 self._result_cache_hits += 1
                 self.stats.record("cache_hit", (time.perf_counter() - t0) * 1e3)
-                return hit
+                # shallow-copy the result dicts so a caller mutating a hit can't
+                # poison later cache reads
+                return [[dict(r) for r in rs] for rs in hit]
 
         dist, slots, ns, resolver = self._raw_search(
             q_np, namespace, top_k, m, filter, nprobe
