@@ -143,7 +143,8 @@ def train_kmeans(
         empty = np.flatnonzero(counts_np == 0)
         if len(empty):
             # re-seed empty clusters from the farthest-assigned rows
-            dist_np = np.asarray(jax.device_get(dist))
+            # (copy: device_get can hand back a read-only buffer on TPU)
+            dist_np = np.array(jax.device_get(dist), copy=True)
             dist_np[~valid_np] = -np.inf
             far = np.argsort(-dist_np)[: len(empty)]
             centroids_new = centroids_new.at[jnp.asarray(empty)].set(
