@@ -165,3 +165,25 @@ def test_ivf_stats_and_statistics_kind(ivf_qp):
     assert st["fill_max"] <= st["cluster_capacity"]
     qp.find_similar(dto(rows[0]), top_k=1, namespace="ns", nprobe=2)
     assert qp.get_statistics()["queries_by_type"].get("ivf", 0) >= 1
+
+
+def test_ivf_skewed_clusters_overflow_placement(small_config, rng):
+    """90% of rows in one blob: overflow rows land nearest-with-space (no crash), the
+    index stays complete, and full-probe search remains exact."""
+    blob = rng.standard_normal((180, 8)).astype(np.float32) * 0.05 + 5.0
+    rest = rng.standard_normal((20, 8)).astype(np.float32) - 5.0
+    rows = np.concatenate([blob, rest])
+    qp = QueryProcessor(config=small_config)
+    vs = qp.upsert_many([dto(r) for r in rows], "ns")
+    stats = qp.build_ivf("ns", n_clusters=8, n_iters=8, seed=3)
+    ns = qp.storage.namespace("ns")
+    assert ns.ivf.live_count == 200  # every row placed despite the skew
+    assert stats["fill_max"] <= stats["cluster_capacity"]
+    # full probe == exact
+    q = dto(rows[7])
+    exact = qp.find_similar(q, top_k=10, namespace="ns", metric="l2")
+    full = qp.find_similar(q, top_k=10, namespace="ns", metric="l2", nprobe=8)
+    assert [r["id"] for r in exact] == [r["id"] for r in full]
+    # queries in the small blob still resolve at tiny nprobe
+    res = qp.find_similar(dto(rows[190]), top_k=1, namespace="ns", nprobe=1)
+    assert res[0]["id"] == vs[190].id
