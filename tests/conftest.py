@@ -34,7 +34,8 @@ def pytest_collection_modifyitems(config, items):
 
     skip = _pytest.mark.skip(reason="needs 8 devices (run without MLVDB_TEST_TPU)")
     for item in items:
-        if "test_parallel" in item.nodeid or "dryrun" in item.nodeid:
+        # test_dryrun is exempt: it spawns fresh subprocesses that build their own mesh
+        if "test_parallel" in item.nodeid:
             item.add_marker(skip)
 
 import numpy as np  # noqa: E402
