@@ -28,6 +28,7 @@ import time
 import uuid as uuid_mod
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,7 +95,9 @@ class QueryProcessor:
 
         h = hashlib.blake2b(q_np.tobytes(), digest_size=16).hexdigest()
         fk = filter_cache_key(filter) if filter else ""
-        return (namespace, ns.version, h, top_k, metric, fk, nprobe)
+        # ns.incarnation: version counters restart at 0 when a namespace is GC'd and
+        # recreated, so (name, version) alone can resurrect a dead incarnation's results
+        return (namespace, ns.incarnation, ns.version, h, top_k, metric, fk, nprobe)
 
     # ------------------------------------------------------------------ writes
 
@@ -238,11 +241,14 @@ class QueryProcessor:
                 ivf.slot_to_id,
             )
 
-        # Snapshot-read with RCU-style retry: the write path DONATES its device buffers
-        # (zero-copy scatter), which invalidates a snapshot a concurrent search may have
-        # just taken.  A search that loses that race sees "Array has been deleted" when
-        # materializing results — it simply re-snapshots and retries; the final attempt
-        # serializes against the writer via the namespace lock to guarantee progress.
+        # Snapshot-read with RCU-style retry.  Write buffers are NOT donated (the store
+        # is copy-on-write — see store/namespace.py on why donation is unsafe under the
+        # TPU runtime), so a published DeviceState can never be invalidated under a
+        # reader.  What CAN still race is the filter path: the mask is compiled against
+        # the live store's capacity, and a concurrent capacity growth between snapshot
+        # and mask build yields a mask/array shape mismatch — _search_snapshot raises
+        # "snapshot deleted (capacity changed)" and we simply re-snapshot.  The final
+        # attempt serializes against the writer via the namespace lock for progress.
         attempts = 6
         for attempt in range(attempts):
             try:
@@ -266,7 +272,14 @@ class QueryProcessor:
                 raise RuntimeError("snapshot deleted (capacity changed)")
             valid = jnp.logical_and(valid, jnp.asarray(mask))
 
-        k_eff = min(k, ns.live_count)
+        # counters come from the SNAPSHOT, never the live store attributes: a concurrent
+        # upsert bumps host tables before publishing the scattered arrays, and pairing
+        # old data with the new high-water would admit never-written all-zero rows
+        k_eff = min(k, state.live_count)
+        if k_eff <= 0:
+            B = q_np.shape[0]
+            empty = np.zeros((B, 0))
+            return empty, empty.astype(np.int32), ns, ns.slot_to_id
         kb = min(self.config.bucket_k(k_eff), state.valid.shape[0])
         B = q_np.shape[0]
         Bb = self.config.bucket_batch(B)
@@ -283,8 +296,8 @@ class QueryProcessor:
             # rows [0, high_water) are exactly the live rows iff no slot below the
             # high-water mark is dead => the TPU backend can skip all mask traffic
             live_prefix = None
-            if filter is None and ns.live_count == ns._high_water:
-                live_prefix = ns._high_water
+            if filter is None and state.live_count == state.high_water:
+                live_prefix = state.high_water
 
             backend = knn_backend(self.config)
             with trace_span("knn_kernel", namespace=namespace, k=kb, batch=Bb):
@@ -356,10 +369,12 @@ class QueryProcessor:
         kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
         self.stats.record(kind, (time.perf_counter() - t0) * 1e3)
         if cache_key is not None:
+            # store a private copy: the caller owns the returned dicts and may mutate
+            # them, which must not poison later hits (same rule as the hit path above)
             with self._result_cache_lock:
                 if len(self._result_cache) >= self.config.result_cache_size:
                     self._result_cache.clear()
-                self._result_cache[cache_key] = results
+                self._result_cache[cache_key] = [[dict(r) for r in rs] for rs in results]
         return results
 
     def _hydrate_scored(self, user_row, dist_row, slot_row, ns, resolver=None) -> List[Dict[str, Any]]:
@@ -481,23 +496,46 @@ class QueryProcessor:
         ns = self.storage.namespace(namespace)
         if ns is None or ns.live_count == 0:
             return 0
+        state = ns.device_state()
         ran = 0
-        q = np.zeros((1, ns.dim), np.float32)
-        # warm BOTH kernel variants: fast (no tombstones) and masked (tombstones/filters
-        # present) — a serving namespace flips between them as deletes come and go
-        sentinel = self.insert(VectorDTO(np.zeros(ns.dim, np.float32), {"__warmup__": True}), namespace)
-        self.delete([sentinel.id], namespace)  # leaves a tombstone -> masked variant
-        for variant in ("masked", "fast"):
+        # Warm BOTH kernel variants — fast (live-prefix, no tombstones) and masked
+        # (tombstones/filters present) — by dispatching the backend directly against the
+        # namespace's published snapshot.  Compilation keys on shapes/static args only,
+        # so this compiles exactly the programs _search_snapshot will dispatch WITHOUT
+        # inserting sentinels into or compacting the user's namespace (warmup must never
+        # mutate data, bump versions, or change compiled capacity buckets).
+        seen = set()
+        if hasattr(ns, "sharded_search"):
             for m in metrics:
                 for b in batches:
+                    Bb = self.config.bucket_batch(b)
                     for k in ks:
-                        qb = np.repeat(q, b, axis=0)
-                        self.find_similar_batch(
-                            [VectorDTO(row) for row in qb], min(k, ns.live_count), namespace, m
-                        )
+                        kb = min(self.config.bucket_k(min(k, state.live_count)), state.valid.shape[0])
+                        if (Bb, kb, m) in seen:
+                            continue
+                        seen.add((Bb, kb, m))
+                        ns.sharded_search(jnp.zeros((Bb, ns.dpad), jnp.float32), kb, canonical_metric(m))
                         ran += 1
-            if variant == "masked":
-                ns.compact()  # clears the tombstone so the fast variant compiles too
+            return ran
+        backend = knn_backend(self.config)
+        for m in metrics:
+            for b in batches:
+                Bb = self.config.bucket_batch(b)
+                q_pad = jnp.zeros((Bb, ns.dpad), jnp.float32)
+                for k in ks:
+                    kb = min(self.config.bucket_k(min(k, state.live_count)), state.valid.shape[0])
+                    for live_prefix in (None, state.high_water):
+                        key = (Bb, kb, canonical_metric(m), live_prefix is None)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        d, _ = backend(
+                            q_pad, state.data, state.valid, state.sq_norms,
+                            k=kb, metric=canonical_metric(m),
+                            db_tile=self.config.db_tile, live_prefix=live_prefix,
+                        )
+                        jax.block_until_ready(d)
+                        ran += 1
         return ran
 
     # ------------------------------------------------------------------ REST helpers

@@ -112,7 +112,12 @@ class FilterMaskCache:
         pure-Python dict walk at million-row scale; falls back to Python per-slot
         evaluation otherwise (and for specs the native grammar can't encode).
         """
-        key = (ns_store.name, filter_cache_key(spec), ns_store.version, ns_store.capacity)
+        # incarnation guards against a GC'd-and-recreated namespace reusing (name,
+        # version): the dead incarnation's mask must never be served to the new store
+        key = (
+            ns_store.name, getattr(ns_store, "incarnation", ""),
+            filter_cache_key(spec), ns_store.version, ns_store.capacity,
+        )
         hit = self._cache.get(key)
         if hit is not None:
             return hit

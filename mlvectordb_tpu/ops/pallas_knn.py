@@ -90,6 +90,15 @@ def _winmin(dist, r1):
     return acc
 
 
+def _phase1_precision(dtype):
+    """f32 storage ranks windows at HIGHEST so phase-1 mins track the HIGHEST-precision
+    rescan to within accumulation-order noise — the fixed +16 selection margin is then a
+    true bound, not a heuristic (a bf16-pass phase 1 could demote a boundary window on
+    tightly clustered data).  bf16 storage is single-pass either way: the caller opted
+    into reduced input precision explicitly, and phase 1/rescan see identical products."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _fast_kernel(metric: str, db_tile: int, r1: int):
     def kernel(db_ref, qt_ref, qn_ref, hw_ref, out_ref):
         db = db_ref[:]
@@ -97,6 +106,7 @@ def _fast_kernel(metric: str, db_tile: int, r1: int):
             db,
             qt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_phase1_precision(db.dtype),
             preferred_element_type=jnp.float32,
         )  # [T, Bt]
         qn = qn_ref[:]  # [1, Bt]
@@ -125,6 +135,7 @@ def _masked_kernel(metric: str, r1: int):
             db,
             qt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_phase1_precision(db.dtype),
             preferred_element_type=jnp.float32,
         )
         qn = qn_ref[:]      # [1, Bt]

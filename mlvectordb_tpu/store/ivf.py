@@ -150,9 +150,9 @@ class IVFIndex:
                 raise RuntimeError("IVF capacity exhausted; increase cluster_capacity")
 
         dtype = state.data.dtype
-        self.data3 = jnp.asarray(buf, dtype)
-        self.valid3 = jnp.asarray(vbuf)
-        self.sqn3 = jnp.asarray(sbuf)
+        # single atomic publish (mirrors NamespaceStore._publish): readers take the
+        # whole (data3, valid3, sqn3) generation in one attribute read, never a torn mix
+        self._dev = (jnp.asarray(buf, dtype), jnp.asarray(vbuf), jnp.asarray(sbuf))
         self.store_version = store.version
 
     def _place(self, buf, vbuf, sbuf, c, store_slot, vid, data_np, sq_np):
@@ -203,15 +203,16 @@ class IVFIndex:
             rows.append(vals[i])
 
         slots_np = np.asarray(slots, np.int64)
-        c_idx, l_idx = slots_np // self.L, slots_np % self.L
+        c_idx = jnp.asarray(slots_np // self.L)
+        l_idx = jnp.asarray(slots_np % self.L)
         rows_np = np.stack(rows)
-        self.data3 = self.data3.at[(jnp.asarray(c_idx), jnp.asarray(l_idx))].set(
-            jnp.asarray(rows_np, self.data3.dtype)
-        )
-        self.sqn3 = self.sqn3.at[(jnp.asarray(c_idx), jnp.asarray(l_idx))].set(
+        data3, valid3, sqn3 = self._dev  # one generation in, one generation out
+        data3 = data3.at[(c_idx, l_idx)].set(jnp.asarray(rows_np, data3.dtype))
+        sqn3 = sqn3.at[(c_idx, l_idx)].set(
             jnp.asarray((rows_np.astype(np.float64) ** 2).sum(-1).astype(np.float32))
         )
-        self.valid3 = self.valid3.at[(jnp.asarray(c_idx), jnp.asarray(l_idx))].set(True)
+        valid3 = valid3.at[(c_idx, l_idx)].set(True)
+        self._dev = (data3, valid3, sqn3)  # atomic swap
         self.store_version = self.store.version
 
     def delete(self, ids: Sequence[uuid_mod.UUID]) -> None:
@@ -223,7 +224,9 @@ class IVFIndex:
                 slots.append(slot)
         if slots:
             s = np.asarray(slots, np.int64)
-            self.valid3 = self.valid3.at[(jnp.asarray(s // self.L), jnp.asarray(s % self.L))].set(False)
+            data3, valid3, sqn3 = self._dev
+            valid3 = valid3.at[(jnp.asarray(s // self.L), jnp.asarray(s % self.L))].set(False)
+            self._dev = (data3, valid3, sqn3)  # atomic swap
         self.store_version = self.store.version
 
     # ------------------------------------------------------------------ search
@@ -231,10 +234,24 @@ class IVFIndex:
     def search(self, q: jax.Array, k: int, metric: str, nprobe: int):
         """(dist [B, k], ivf_slot [B, k]); nprobe clamps to C (full probe = exact)."""
         nprobe = max(1, min(nprobe, self.C))
+        data3, valid3, sqn3 = self._dev  # one atomic generation read
         return _ivf_search(
-            q, self.centroids, self.cnorms, self.data3, self.valid3, self.sqn3,
+            q, self.centroids, self.cnorms, data3, valid3, sqn3,
             k=min(k, self.C * self.L), metric=metric, nprobe=nprobe,
         )
+
+    # read-only views of the current published generation (stats, tests)
+    @property
+    def data3(self):
+        return self._dev[0]
+
+    @property
+    def valid3(self):
+        return self._dev[1]
+
+    @property
+    def sqn3(self):
+        return self._dev[2]
 
     def slot_to_id(self, slot: int) -> Optional[uuid_mod.UUID]:
         if 0 <= slot < len(self._slot_ids):

@@ -41,6 +41,13 @@ class DeviceState(NamedTuple):
     data: jax.Array      # [cap, dpad]
     valid: jax.Array     # [cap] bool
     sq_norms: jax.Array  # [cap] f32
+    # Host counters captured at publish time.  Readers deriving the live-prefix fast
+    # path MUST use these, not the store's live attributes: an upsert bumps
+    # _high_water before the device scatter publishes, so pairing an old data
+    # snapshot with the live _high_water would admit never-written all-zero rows
+    # into top-k (all-zero row: l2 dist = |q|^2, ip/cosine dist = 1.0).
+    high_water: int
+    live_count: int
 
 
 # NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
@@ -81,6 +88,10 @@ class NamespaceStore:
         self.config = config
         self.host_mirror = host_mirror
         self._lock = threading.RLock()
+        # Incarnation token: version numbers restart at 0 when a namespace is GC'd and
+        # recreated under the same name, so (name, version) cache keys can resurrect a
+        # DEAD incarnation's results.  Every cache keyed on this store must include this.
+        self.incarnation = uuid_mod.uuid4().hex
 
         self.dim: Optional[int] = None   # logical dim, fixed at first write
         self.dpad: int = 0
@@ -134,8 +145,11 @@ class NamespaceStore:
         return state
 
     def _publish(self) -> None:
-        """Swap in a new consistent (data, valid, sq_norms) generation for readers."""
-        self._state = DeviceState(self._data, self._valid, self._sq_norms)
+        """Swap in a new consistent (data, valid, sq_norms, counters) generation."""
+        self._state = DeviceState(
+            self._data, self._valid, self._sq_norms,
+            self._high_water, len(self._id_to_slot),
+        )
 
     # ------------------------------------------------------------------ allocation
 

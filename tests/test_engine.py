@@ -273,10 +273,68 @@ def test_auto_snapshot_roundtrip(qp, rng, tmp_path, small_config):
 
 def test_warmup_precompiles_buckets(qp, rng):
     qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(30)], "ns")
-    ran = qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",))
-    assert ran == 4  # 2 batch buckets x 2 kernel variants (fast + masked)
-    assert qp.get_namespace_count("ns") == 30  # warmup sentinel cleaned up
+    ns = qp.storage.namespace("ns")
+    version, capacity, hw = ns.version, ns.capacity, ns._high_water
+    ran = qp.warmup("ns", ks=(3,), batches=(1, 16), metrics=("l2",))
+    assert ran == 4  # 2 distinct batch buckets x 2 kernel variants (fast + masked)
+    # batches that land in the SAME bucket compile the same program: deduped
+    assert qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",)) == 2
+    # warmup is strictly side-effect-free: no sentinel insert/delete/compaction
+    assert qp.get_namespace_count("ns") == 30
+    assert (ns.version, ns.capacity, ns._high_water) == (version, capacity, hw)
     assert qp.warmup("missing") == 0
+
+
+def test_result_cache_not_resurrected_across_namespace_incarnations(qp, rng):
+    """GC-pop + recreate restarts version numbering at the same values; the result
+    cache must key on the store's incarnation, not (name, version) (ADVICE r1 #1)."""
+    q = rng.standard_normal(8).astype(np.float32)
+    a = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(4)], "ns")
+    first = qp.find_similar(dto(q), top_k=2, namespace="ns", metric="l2")
+    assert first
+    qp.delete([v.id for v in a], "ns")          # last delete GC-pops the namespace
+    assert "ns" not in qp.storage.list_namespaces()
+    b = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(4)], "ns")
+    second = qp.find_similar(dto(q), top_k=2, namespace="ns", metric="l2")
+    new_ids = {v.id for v in b}
+    assert all(r["id"] in new_ids for r in second), "stale incarnation served from cache"
+
+
+def test_result_cache_miss_path_returns_independent_copies(qp, rng):
+    """Mutating the FIRST (cache-miss) response must not poison later hits
+    (ADVICE r1 #3 — the hit path copied, the store path did not)."""
+    qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32), {"tag": i}) for i in range(4)], "ns")
+    q = rng.standard_normal(8).astype(np.float32)
+    miss = qp.find_similar(dto(q), top_k=2, namespace="ns", metric="l2")
+    miss[0]["score"] = -12345.0
+    miss[0]["metadata"] = {"poisoned": True}
+    hit = qp.find_similar(dto(q), top_k=2, namespace="ns", metric="l2")
+    assert hit[0]["score"] != -12345.0
+    assert hit[0]["metadata"] != {"poisoned": True}
+
+
+def test_search_uses_snapshot_counters_not_live_attributes(qp, rng):
+    """A reader pairing an OLD data snapshot with a NEW high-water mark would admit
+    never-written all-zero rows (l2 dist |q|^2 = 0 for a zero query) (ADVICE r1 #2)."""
+    qp.upsert_many([dto((rng.standard_normal(8) + 5.0).astype(np.float32)) for _ in range(6)], "ns")
+    ns = qp.storage.namespace("ns")
+    # simulate the torn interleaving mid-upsert: host tables (_id_to_slot, _high_water)
+    # already advanced, device scatter/_publish still pending — live_count == high_water
+    # again, so the buggy live-attribute read would turn the live-prefix fast path ON
+    # over the OLD snapshot, admitting 7 never-written all-zero rows
+    import uuid as uuid_mod
+
+    fakes = {uuid_mod.uuid4(): ns._high_water + i for i in range(7)}
+    ns._id_to_slot.update(fakes)
+    ns._high_water += 7
+    try:
+        res = qp.find_similar(dto(np.zeros(8, np.float32)), top_k=3, namespace="ns", metric="l2")
+        assert len(res) == 3
+        assert all(r["score"] > 1.0 for r in res), "phantom zero-row admitted into top-k"
+    finally:
+        for vid in fakes:
+            ns._id_to_slot.pop(vid)
+        ns._high_water -= 7
 
 
 def test_bulk_load_matches_per_vector_path(qp, rng, small_config):
