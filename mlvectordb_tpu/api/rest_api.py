@@ -134,11 +134,16 @@ class RestAPI:
         batch_queries: bool = False,
         batch_wait_us: int = 500,
         api_key: Optional[str] = None,
+        cors_origins: Optional[str] = "*",
     ):
         self.query_processor = query_processor
         self.title = title
         self.enable_file_logging = enable_file_logging
         self.api_key = api_key  # None = open (reference parity); set = bearer-token auth
+        # CORS, which the reference README advertises but never implements (SURVEY.md
+        # §2.6 note).  "*" = allow any origin; comma-separated list = allowlist;
+        # None/"" = disabled (no CORS headers at all).
+        self.cors_origins = cors_origins
         self._setup_logging(log_level, log_file)
         self.logger = logging.getLogger("vector_db_api")
         # engine calls are blocking (device compute + host bookkeeping); a small pool
@@ -181,7 +186,37 @@ class RestAPI:
         loop = asyncio.get_running_loop()
         return await loop.run_in_executor(self._pool, lambda: fn(*args, **kwargs))
 
+    def _cors_allow(self, origin: Optional[str]) -> Optional[str]:
+        """The Access-Control-Allow-Origin value for this request, or None to omit."""
+        if not self.cors_origins or not origin:
+            return None
+        if self.cors_origins.strip() == "*":
+            return "*"
+        allowed = {o.strip() for o in self.cors_origins.split(",") if o.strip()}
+        return origin if origin in allowed else None
+
     def _build_app(self) -> web.Application:
+        @web.middleware
+        async def cors(request: web.Request, handler):
+            origin = request.headers.get("Origin")
+            if request.method == "OPTIONS":  # preflight: answered here, no route needed
+                response = web.Response(status=204)
+            else:
+                try:
+                    response = await handler(request)
+                except web.HTTPException as he:
+                    response = he
+            allow = self._cors_allow(origin)
+            if allow is not None:
+                response.headers["Access-Control-Allow-Origin"] = allow
+                response.headers["Access-Control-Allow-Methods"] = "GET, POST, PUT, DELETE, OPTIONS"
+                response.headers["Access-Control-Allow-Headers"] = "Content-Type, Authorization, X-API-Key"
+                if allow != "*":
+                    response.headers["Vary"] = "Origin"
+            if isinstance(response, web.HTTPException):
+                raise response
+            return response
+
         @web.middleware
         async def check_auth(request: web.Request, handler):
             # opt-in bearer auth; /health stays open for probes
@@ -218,7 +253,8 @@ class RestAPI:
             return response
 
         app = web.Application(
-            middlewares=[log_requests, check_auth], client_max_size=256 * 1024 * 1024
+            middlewares=[log_requests, cors, check_auth],
+            client_max_size=256 * 1024 * 1024,
         )
         r = app.router
         r.add_post("/vectors", self.insert_vector)

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Require this bearer token on every request except /health (default: open)",
     )
     p.add_argument(
+        "--cors-origins",
+        default="*",
+        help='CORS allowlist: "*" (default), comma-separated origins, or "" to disable',
+    )
+    p.add_argument(
         "--grpc-port",
         type=int,
         default=0,
@@ -104,6 +109,7 @@ def main(argv=None) -> None:
         batch_queries=args.auto_batch,
         batch_wait_us=args.batch_wait_us,
         api_key=args.api_key,
+        cors_origins=args.cors_origins or None,
     )
     if args.grpc_port:
         from .grpc_server import create_server

@@ -362,3 +362,56 @@ def test_api_key_auth(small_config):
             await client.close()
 
     asyncio.run(runner())
+
+
+def test_cors_headers(small_config):
+    """CORS is advertised by the reference README but absent from its code (SURVEY.md
+    §2.6 note); here it is real: wildcard default, allowlist mode, preflight, opt-out."""
+
+    async def runner():
+        qp = QueryProcessor(config=small_config)
+
+        # default: wildcard
+        api = RestAPI(qp, enable_file_logging=False, log_level="WARNING")
+        client = TestClient(TestServer(api.app))
+        await client.start_server()
+        try:
+            r = await client.get("/health", headers={"Origin": "http://app.example"})
+            assert r.headers.get("Access-Control-Allow-Origin") == "*"
+            # no Origin header -> no CORS headers (not a cross-origin request)
+            r = await client.get("/health")
+            assert "Access-Control-Allow-Origin" not in r.headers
+            # preflight answered without hitting any route (and without auth)
+            r = await client.options("/vectors", headers={"Origin": "http://app.example"})
+            assert r.status == 204
+            assert "POST" in r.headers["Access-Control-Allow-Methods"]
+        finally:
+            await client.close()
+
+        # allowlist mode
+        api = RestAPI(
+            qp, enable_file_logging=False, log_level="WARNING",
+            cors_origins="http://a.example, http://b.example",
+        )
+        client = TestClient(TestServer(api.app))
+        await client.start_server()
+        try:
+            r = await client.get("/health", headers={"Origin": "http://a.example"})
+            assert r.headers.get("Access-Control-Allow-Origin") == "http://a.example"
+            assert r.headers.get("Vary") == "Origin"
+            r = await client.get("/health", headers={"Origin": "http://evil.example"})
+            assert "Access-Control-Allow-Origin" not in r.headers
+        finally:
+            await client.close()
+
+        # disabled
+        api = RestAPI(qp, enable_file_logging=False, log_level="WARNING", cors_origins=None)
+        client = TestClient(TestServer(api.app))
+        await client.start_server()
+        try:
+            r = await client.get("/health", headers={"Origin": "http://a.example"})
+            assert "Access-Control-Allow-Origin" not in r.headers
+        finally:
+            await client.close()
+
+    asyncio.run(runner())
