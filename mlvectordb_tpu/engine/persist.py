@@ -53,7 +53,17 @@ def save_storage(storage: StorageEngine, path: str) -> List[str]:
                  "metadata": snap["metadata"]},
                 f,
             )
-        manifest["namespaces"].append({"name": name, "file": base, "count": len(snap["ids"])})
+        entry = {"name": name, "file": base, "count": len(snap["ids"])}
+        # a trained IVF index is minutes of k-means at scale: persist its centroids +
+        # layout so load() restores identical approximate search without retraining
+        ivf = getattr(ns, "ivf", None)
+        if ivf is not None:
+            isnap = ivf.snapshot_arrays()
+            np.savez(os.path.join(path, base + ".ivf.npz"), centroids=isnap.pop("centroids"))
+            with open(os.path.join(path, base + ".ivf.json"), "w") as f:
+                json.dump(isnap, f)
+            entry["ivf"] = True
+        manifest["namespaces"].append(entry)
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     return names
@@ -88,5 +98,14 @@ def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEng
             "metadata": meta["metadata"],
         }
         ns = NamespaceStore.from_snapshot(snap, config, storage.host_mirror)
+        if entry.get("ivf"):
+            from ..store.ivf import IVFIndex
+
+            with np.load(os.path.join(path, base + ".ivf.npz")) as z:
+                centroids = z["centroids"]
+            with open(os.path.join(path, base + ".ivf.json")) as f:
+                isnap = json.load(f)
+            isnap["centroids"] = centroids
+            ns.ivf = IVFIndex.from_snapshot(ns, isnap)
         storage._namespaces[meta["name"]] = ns
     return storage
