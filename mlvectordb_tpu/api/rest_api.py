@@ -112,6 +112,18 @@ def _jsonable(obj: Any) -> Any:
     return obj
 
 
+def vector_content_hash(vid, values, metadata) -> int:
+    """64-bit content hash of one vector record.  MUST be identical across server
+    versions participating in one reconcile round (it is the divergence oracle)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    h.update(vid.bytes)
+    h.update(np.ascontiguousarray(values, np.float32).tobytes())
+    h.update(json.dumps(metadata or {}, sort_keys=True, default=str).encode())
+    return int.from_bytes(h.digest(), "big")
+
+
 def _json(data: Any, status: int = 200) -> web.Response:
     return web.json_response(_jsonable(data), status=status)
 
@@ -284,6 +296,8 @@ class RestAPI:
         r.add_post("/ivf/build", self.ivf_build)
         r.add_delete("/ivf", self.ivf_drop)
         r.add_post("/warmup", self.warmup)
+        # bucketed content fingerprints: the router's cross-node reconcile primitive
+        r.add_get("/fingerprint", self.fingerprint)
         # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
         r.add_get("/trace", self.get_trace)
         r.add_get("/metrics", self.get_metrics)
@@ -434,6 +448,40 @@ class RestAPI:
             return _json(self.query_processor.get_storage_info())
         except Exception as e:
             return _error(f"Failed to get storage info: {e}", 500)
+
+    def _fingerprint_sync(self, namespace: str, buckets: int) -> dict:
+        out = {}
+        for vid, vec in (
+            (v.id, v) for v in self.query_processor.get_namespace_vectors(namespace)
+        ):
+            b = vid.int % buckets
+            h = vector_content_hash(vid, vec.values, vec.metadata)
+            cnt, acc = out.get(b, (0, 0))
+            out[b] = (cnt + 1, acc ^ h)
+        return {
+            "namespace": namespace,
+            "buckets": buckets,
+            "fingerprints": {str(b): {"count": c, "xor": format(x, "x")} for b, (c, x) in out.items()},
+        }
+
+    async def fingerprint(self, request: web.Request) -> web.Response:
+        """Bucketed order-independent content checksums (bucket = uuid.int % buckets).
+
+        The router's reconcile compares bucket b across the backends that replicate
+        bucket b; any count/xor mismatch localizes divergence to one (namespace,
+        bucket) pair.  XOR of per-vector hashes is insertion-order independent and
+        incremental-friendly.  Walks the host tables — O(live) per call, intended for
+        periodic anti-entropy, not the hot path.
+        """
+        ns = request.query.get("namespace", "default")
+        try:
+            buckets = max(1, int(request.query.get("buckets", "64")))
+        except ValueError:
+            return _error("buckets must be an integer", 400)
+        try:
+            return _json(await self._run(self._fingerprint_sync, ns, buckets))
+        except Exception as e:
+            return _error(f"Fingerprint failed: {e}", 500)
 
     async def health(self, request: web.Request) -> web.Response:
         # plain: constant-time liveness (parity with reference rest_api.py:292-296);
