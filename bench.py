@@ -1,20 +1,31 @@
 """Headline benchmark: exact kNN QPS/chip at recall@10 = 1.0 on SIFT-1M-shape data.
 
 Prints exactly ONE JSON line on stdout:
-    {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": x}
+    {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": x, ...itemization}
 vs_baseline = engine QPS / numpy-brute-force QPS on the same host (the reference
 publishes no numbers — BASELINE.md — so the measured numpy oracle is the baseline, as
 BASELINE.json specifies).  Diagnostics go to stderr.
 
 Workload (BASELINE.json config #2 shape): 2^20 x 128-d float32 vectors, single
-namespace, l2 kNN k=10, batched queries.  Recall is verified against the numpy oracle
-before timing; the run aborts (exit 1) if any query's neighbour set differs — exactness
-is a precondition of the headline number, not an aspiration.
+namespace, l2 kNN k=10, batch-128 queries.  The benched configuration is the
+recommended serving config: f32 store + transposed bf16 sweep mirror
+(EngineConfig.sweep_dtype="bfloat16", ops/pallas_knn_t.py) — phase 1 reads half the
+bytes, candidate scoring is exact f32 at HIGHEST precision.
+
+Honesty rules:
+  * recall@10 is verified against the f32 numpy oracle BEFORE timing; any mismatch
+    aborts with exit 1 — exactness is a precondition of the number, not an aspiration.
+  * the headline is the MEDIAN of 5 independent timing runs (each itself an
+    RTT-cancelled on-device measurement, benchmarks/timing.py); all 5 are printed.
+  * engine_qps (the full QueryProcessor.find_similar_batch path) is reported next to
+    the kernel number with the gap itemized (through the shared axon relay each engine
+    call pays a ~28 ms host<->device round trip that co-located serving would not).
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -45,68 +56,130 @@ def numpy_brute_qps(db: np.ndarray, queries: np.ndarray, k: int, iters: int = 3)
     return len(queries) / dt
 
 
+def median_device_time(fn, args, runs: int = 5, iters: int = 12):
+    from benchmarks.timing import device_seconds_per_call
+
+    ts = sorted(device_seconds_per_call(fn, args, iters=iters) for _ in range(runs))
+    return statistics.median(ts), ts
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from benchmarks.timing import device_seconds_per_call
-    from mlvectordb_tpu.ops.pallas_knn import exact_knn_pallas
-    from mlvectordb_tpu.ops.topk import exact_knn
+    from mlvectordb_tpu.config import EngineConfig
+    from mlvectordb_tpu.engine.query_processor import QueryProcessor
+    from mlvectordb_tpu.interfaces.vector import VectorDTO
+    from mlvectordb_tpu.ops.backend import knn_backend
 
     N, D, K = 1 << 20, 128, 10
-    B_THROUGHPUT, B_LATENCY = 128, 8
+    B = 128
     rng = np.random.default_rng(42)
+    on_tpu = jax.default_backend() == "tpu"
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"building {N}x{D} f32 database ...")
     db_np = rng.standard_normal((N, D), dtype=np.float32)
-    q_np = rng.standard_normal((B_THROUGHPUT, D), dtype=np.float32)
+    q_np = rng.standard_normal((B, D), dtype=np.float32)
 
+    config = EngineConfig(
+        sweep_dtype="bfloat16" if on_tpu else None,
+        query_buckets=(8, 128, 512),
+        k_buckets=(16, 128, 1024),
+    )
+    backend = knn_backend(config)
+
+    # the production arrays, exactly as the engine holds them
     db = jnp.asarray(db_np)
     sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
+    db_t = db.T.astype(jnp.bfloat16) if on_tpu else None
     q = jnp.asarray(q_np)
 
-    backend = exact_knn_pallas if jax.default_backend() == "tpu" else (
-        lambda *a, **kw: exact_knn(*a, **{k2: v for k2, v in kw.items() if k2 != "live_prefix"})
-    )
+    def search(qq, dd, vv, ss, ddt=None, k=K):
+        return backend(qq, dd, vv, ss, k=k, metric="l2", db_tile=config.db_tile,
+                       live_prefix=N, data_t=ddt)
 
     # ---- recall gate: engine vs numpy oracle must agree exactly -------------------
-    log("verifying recall@10 == 1.0 against numpy oracle ...")
-    d_eng, i_eng = backend(q, db, valid, sq, k=K, metric="l2", live_prefix=N)
+    log("verifying recall@10 == 1.0 against f32 numpy oracle ...")
+    _, i_eng = search(q, db, valid, sq, db_t)
     i_eng = np.asarray(i_eng)
     sq_np = (db_np ** 2).sum(-1)
     d_or = sq_np[None, :] - 2.0 * (q_np @ db_np.T) + (q_np ** 2).sum(-1)[:, None]
     i_or = np.argpartition(d_or, K, axis=1)[:, :K]
-    hits = sum(
-        len(set(i_eng[b].tolist()) & set(i_or[b].tolist())) for b in range(B_THROUGHPUT)
-    )
-    recall = hits / (B_THROUGHPUT * K)
+    hits = sum(len(set(i_eng[b].tolist()) & set(i_or[b].tolist())) for b in range(B))
+    recall = hits / (B * K)
     log(f"recall@10 = {recall}")
     if recall < 1.0:
         print(json.dumps({"metric": "recall_failure", "value": recall, "unit": "recall",
                           "vs_baseline": 0.0}))
         return 1
 
-    # ---- engine throughput (on-device, RTT-cancelled, best of 3 — the shared relay
-    # adds heavy run-to-run noise) ---------------------------------------------------
-    log("timing engine throughput ...")
-    t_batch = min(
-        device_seconds_per_call(
-            lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
-            [q, db, valid, sq], iters=12,
-        )
-        for _ in range(3)
-    )
-    engine_qps = B_THROUGHPUT / t_batch
-    log(f"engine: {t_batch*1e3:.3f} ms / {B_THROUGHPUT} queries = {engine_qps:,.0f} QPS/chip")
+    # ---- kernel throughput: median of 5 on-device RTT-cancelled runs ---------------
+    log("timing kernel throughput (median of 5) ...")
+    if on_tpu:
+        kern_args = [q, db_t, db, sq]
 
-    q_small = jnp.asarray(q_np[:B_LATENCY])
-    t_lat = device_seconds_per_call(
-        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
-        [q_small, db, valid, sq], iters=12,
+        def kern_fn(qq, ddt, dd, ss):
+            return search(qq, dd, valid, ss, ddt)
+    else:
+        kern_args = [q, db, sq]
+
+        def kern_fn(qq, dd, ss):
+            return search(qq, dd, valid, ss, None)
+    t_med, runs = median_device_time(kern_fn, kern_args)
+    kernel_qps = B / t_med
+    log(f"kernel: {t_med*1e3:.3f} ms / {B} queries = {kernel_qps:,.0f} QPS/chip "
+        f"(runs ms: {', '.join(f'{x*1e3:.2f}' for x in runs)})")
+
+    # latency-oriented batch
+    q8 = jnp.asarray(q_np[:8])
+    # small batches finish in ~0.3 ms, so the iteration count must be high enough for
+    # the differenced signal to clear the relay's run-to-run noise
+    t_lat, _ = median_device_time(
+        (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt)) if on_tpu
+        else (lambda qq, dd, ss: search(qq, dd, valid, ss, None)),
+        [q8, db_t, db, sq] if on_tpu else [q8, db, sq], runs=3, iters=48,
     )
-    log(f"engine latency: {t_lat*1e3:.3f} ms per batch-{B_LATENCY} (p50-equivalent)")
+    log(f"batch-8 latency: {t_lat*1e3:.3f} ms (p50-equivalent)")
+
+    # k=100 row (BASELINE config #2 names k=100)
+    t_k100, _ = median_device_time(
+        (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt, k=100)) if on_tpu
+        else (lambda qq, dd, ss: search(qq, dd, valid, ss, None, k=100)),
+        [q, db_t, db, sq] if on_tpu else [q, db, sq], runs=3,
+    )
+    log(f"k=100: {t_k100*1e3:.3f} ms / {B} queries = {B/t_k100:,.0f} QPS/chip")
+
+    # ---- engine path: the surface users hit (QueryProcessor.find_similar_batch) ----
+    log("loading the engine store (bulk_load) ...")
+    qp = QueryProcessor(config=config)
+    qp.bulk_load(db_np, "bench")
+    dtos = [VectorDTO(row) for row in q_np]
+    qp.find_similar_batch(dtos, K, "bench", "l2")  # compile the engine's bucket
+    # engine-path correctness: top-1 self-distance check on a stored row
+    res1 = qp.find_similar(VectorDTO(db_np[1234]), 1, "bench", "l2")
+    assert res1 and res1[0]["score"] < 1e-5, "engine path returned wrong neighbour"
+
+    log("timing engine wall path (includes relay RTT + hydration) ...")
+    # distinct queries per run so the result cache can't serve hits
+    wall = []
+    for i in range(5):
+        qs = [VectorDTO(row) for row in q_np + np.float32(i + 1) * np.float32(1e-3)]
+        t0 = time.perf_counter()
+        qp.find_similar_batch(qs, K, "bench", "l2")
+        wall.append(time.perf_counter() - t0)
+    wall_med = statistics.median(wall)
+    engine_qps = B / wall_med
+    gap = {
+        "kernel_ms": round(t_med * 1e3, 3),
+        "engine_wall_ms": round(wall_med * 1e3, 3),
+        # itemization of the kernel->engine gap: one device readback through the
+        # shared axon relay costs ~28 ms RTT; hydration is the remaining host time
+        "relay_rtt_and_hydration_ms": round((wall_med - t_med) * 1e3, 3),
+    }
+    log(f"engine: {wall_med*1e3:.1f} ms wall / {B} queries = {engine_qps:,.0f} QPS "
+        f"(gap itemized: {gap})")
 
     # ---- numpy baseline -----------------------------------------------------------
     log("timing numpy brute-force baseline ...")
@@ -114,10 +187,15 @@ def main() -> int:
     log(f"numpy baseline: {base_qps:,.1f} QPS")
 
     print(json.dumps({
-        "metric": "SIFT1M-shape exact kNN k=10 f32 QPS/chip (recall@10=1.0)",
-        "value": round(engine_qps, 1),
+        "metric": "SIFT1M-shape exact kNN k=10 QPS/chip (recall@10=1.0, f32 store + bf16 sweep, median of 5)",
+        "value": round(kernel_qps, 1),
         "unit": "qps",
-        "vs_baseline": round(engine_qps / base_qps, 2),
+        "vs_baseline": round(kernel_qps / base_qps, 2),
+        "engine_qps": round(engine_qps, 1),
+        "engine_gap": gap,
+        "k100_qps": round(B / t_k100, 1),
+        "batch8_latency_ms": round(t_lat * 1e3, 3),
+        "runs_ms": [round(x * 1e3, 3) for x in runs],
     }))
     return 0
 

@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["float32", "bfloat16"],
         help="Device storage dtype (bfloat16 halves HBM per vector)",
     )
+    p.add_argument(
+        "--sweep-dtype",
+        default=None,
+        choices=["bfloat16", "float32"],
+        help="Maintain a transposed sweep mirror for the roofline kernel "
+        "(bfloat16 recommended for serving: ~2-3x QPS for +50%% HBM)",
+    )
     p.add_argument("--metric", default="l2", help="Default distance metric (l2/ip/cosine)")
     p.add_argument("--db-tile", type=int, default=8192, help="Database-axis kernel tile size")
     p.add_argument("--snapshot", default=None, help="Snapshot directory to load on startup")
@@ -90,6 +97,7 @@ def main(argv=None) -> None:
 
     config = EngineConfig(
         dtype=args.dtype,
+        sweep_dtype=args.sweep_dtype,
         default_metric=canonical_metric(args.metric),
         db_tile=args.db_tile,
         use_pallas=not args.no_pallas,

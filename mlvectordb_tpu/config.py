@@ -9,7 +9,7 @@ by one frozen dataclass so that every jit/pallas specialization key is explicit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 # Metrics supported by the engine.  These mirror the reference's hnswlib spaces
 # (reference: src/mlvectordb/implementations/index.py:18 — "l2", "ip", "cosine") plus the
@@ -58,6 +58,15 @@ class EngineConfig:
     # Storage dtype for the database matrix.  bfloat16 halves HBM traffic on the scan;
     # accumulation is always float32 on the MXU (preferred_element_type).
     dtype: str = "float32"  # "float32" | "bfloat16"
+
+    # Optional TRANSPOSED sweep mirror ([dpad, capacity], kept in sync with the store):
+    # the bandwidth-bound phase-1 window ranking reads this layout at HBM roofline
+    # (ops/pallas_knn_t.py) while the exact rescan + hydration read the primary
+    # row-major matrix.  "bfloat16" = recommended serving config (+50% HBM for ~2-3x
+    # QPS; candidate scoring stays exact f32 — the bench recall gate and oracle tests
+    # pin set-exactness); "float32" = +100% HBM, HIGHEST-precision ranking; None
+    # (default) = no mirror, row-major kernel, provably exact selection margin.
+    sweep_dtype: Optional[str] = None  # None | "bfloat16" | "float32"
 
     # Slots allocated for a fresh namespace; grows by powers of two up to max_capacity.
     initial_capacity: int = 4096

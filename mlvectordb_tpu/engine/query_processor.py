@@ -234,12 +234,8 @@ class QueryProcessor:
             q_pad[:B, : ns.dim] = q_np
             with trace_span("knn_ivf", namespace=namespace, k=k_eff, nprobe=nprobe):
                 dist, idx = ivf.search(jnp.asarray(q_pad), k_eff, metric, nprobe)
-            return (
-                np.asarray(dist)[:B, :k_eff],
-                np.asarray(idx)[:B, :k_eff],
-                ns,
-                ivf.slot_to_id,
-            )
+            dist, idx = jax.device_get((dist, idx))  # one relay round trip, not two
+            return dist[:B, :k_eff], idx[:B, :k_eff], ns, ivf.slot_to_id
 
         # Snapshot-read with RCU-style retry.  Write buffers are NOT donated (the store
         # is copy-on-write — see store/namespace.py on why donation is unsafe under the
@@ -303,11 +299,14 @@ class QueryProcessor:
             with trace_span("knn_kernel", namespace=namespace, k=kb, batch=Bb):
                 dist, idx = backend(
                     jnp.asarray(q_pad), state.data, valid, state.sq_norms,
-                    k=kb, metric=metric, db_tile=self.config.db_tile, live_prefix=live_prefix,
+                    k=kb, metric=metric, db_tile=self.config.db_tile,
+                    live_prefix=live_prefix, data_t=state.data_t,
                 )
-        dist = np.asarray(dist)[:B, :k_eff]
-        idx = np.asarray(idx)[:B, :k_eff]
-        return dist, idx, ns, ns.slot_to_id
+        # ONE device->host transfer for both arrays: through the axon relay every
+        # readback costs a full ~28 ms RTT, so fetching dist and idx separately
+        # doubles the engine's per-batch latency for no reason
+        dist, idx = jax.device_get((dist, idx))
+        return dist[:B, :k_eff], idx[:B, :k_eff], ns, ns.slot_to_id
 
     def _to_user_score(self, dist: np.ndarray, metric: str) -> np.ndarray:
         # reference convention (index.py:121-128): cosine -> 1 - dist; else raw distance
@@ -533,6 +532,7 @@ class QueryProcessor:
                             q_pad, state.data, state.valid, state.sq_norms,
                             k=kb, metric=canonical_metric(m),
                             db_tile=self.config.db_tile, live_prefix=live_prefix,
+                            data_t=state.data_t,
                         )
                         jax.block_until_ready(d)
                         ran += 1

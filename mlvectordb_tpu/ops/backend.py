@@ -18,7 +18,8 @@ from .topk import exact_knn
 _warned = False
 
 
-def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None):
+def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None,
+                  data_t=None):
     return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
 
 
@@ -30,8 +31,24 @@ def knn_backend(config: EngineConfig):
     if config.use_pallas and jax.default_backend() == "tpu":
         try:
             from .pallas_knn import exact_knn_pallas
+            from .pallas_knn_t import exact_knn_pallas_t
 
-            return exact_knn_pallas
+            def tpu_backend(q, data, valid, sq_norms, *, k, metric, db_tile,
+                            live_prefix=None, data_t=None):
+                # transposed sweep mirror present (config.sweep_dtype): roofline path —
+                # phase 1 reads data_t, the exact rescan reads the row-major store
+                if data_t is not None:
+                    return exact_knn_pallas_t(
+                        q, data_t, data, valid, sq_norms,
+                        k=k, metric=metric, live_prefix=live_prefix,
+                    )
+                return exact_knn_pallas(
+                    q, data, valid, sq_norms,
+                    k=k, metric=metric, db_tile=db_tile, live_prefix=live_prefix,
+                )
+
+            tpu_backend.__name__ = "exact_knn_pallas"
+            return tpu_backend
         except Exception:  # pragma: no cover - pallas unavailable / import failure
             if not _warned:
                 import logging

@@ -290,12 +290,22 @@ def exact_knn_pallas(
     metric: str,
     db_tile: int = DB_TILE,
     live_prefix: int | None = None,
+    rescan_data: jax.Array | None = None,
+    r1_override: int | None = None,
 ):
     """Drop-in TPU backend for ops.topk.exact_knn (same contract).
 
     ``live_prefix``: host-known hint that rows [0, live_prefix) are exactly the live rows
     (no tombstones, no filter) — enables the fast no-mask kernel.  None => use the masked
     kernel driven by ``valid``.
+
+    ``rescan_data``: optional higher-precision copy of ``data`` (same shape) for the
+    phase-2 rescan.  The bandwidth-bound phase-1 sweep reads ``data`` (e.g. a bf16
+    mirror at half the HBM traffic) while candidate scoring reads full-precision rows —
+    bf16-sweep speed with f32-exact results for 1.5x storage.
+
+    ``r1_override``: pin the level-1 window width instead of the adaptive heuristic
+    (benchmark exploration).
 
     Falls back to the pure-XLA scan for shapes the fused path does not cover (small
     namespaces, capacities not tileable, oversized k).
@@ -304,7 +314,7 @@ def exact_knn_pallas(
     B = q.shape[0]
     tile = DB_TILE
     qt_w = min(Q_TILE, B)
-    r1 = _pick_r1(B, cap, k)
+    r1 = r1_override or _pick_r1(B, cap, k)
     if (
         cap < 2 * tile
         or cap % tile != 0
@@ -312,7 +322,10 @@ def exact_knn_pallas(
         or q.shape[1] % 128 != 0
         or k * r1 > cap
     ):
+        if rescan_data is not None:
+            data = rescan_data  # scan path has no phase split; use the exact copy
         return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
+    rescan_src = data if rescan_data is None else rescan_data
 
     q32 = q.astype(jnp.float32)
     qn_row = jnp.sum(q32 * q32, axis=-1)                          # [B]
@@ -325,7 +338,7 @@ def exact_knn_pallas(
             data, qtarr, qn, hw, metric=metric, q_tile=qt_w, db_tile=tile, r1=r1
         )
         return _select_and_rescan(
-            q32, qn_row[:, None], data, sq_norms, jnp.int32(live_prefix), wmin1t,
+            q32, qn_row[:, None], rescan_src, sq_norms, jnp.int32(live_prefix), wmin1t,
             k=k, metric=metric, db_tile=tile, masked=False, r1=r1,
         )
 
@@ -338,6 +351,6 @@ def exact_knn_pallas(
         data, qtarr, qn, bias, metric=metric, q_tile=qt_w, db_tile=tile, r1=r1
     )
     return _select_and_rescan(
-        q32, qn_row[:, None], data, maskadd, jnp.int32(cap), wmin1t,
+        q32, qn_row[:, None], rescan_src, maskadd, jnp.int32(cap), wmin1t,
         k=k, metric=metric, db_tile=tile, masked=True, r1=r1,
     )

@@ -48,6 +48,9 @@ class DeviceState(NamedTuple):
     # into top-k (all-zero row: l2 dist = |q|^2, ip/cosine dist = 1.0).
     high_water: int
     live_count: int
+    # Optional transposed sweep mirror [dpad, cap] in config.sweep_dtype: phase-1 of
+    # the roofline kernel (ops/pallas_knn_t.py) reads this; rescan/hydration read data.
+    data_t: Optional[jax.Array] = None
 
 
 # NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
@@ -65,6 +68,12 @@ def _scatter_rows(data, valid, sq_norms, slots, vals):
     sq_norms = sq_norms.at[slots].set(jnp.sum(vals32 * vals32, axis=-1))
     valid = valid.at[slots].set(True)
     return data, valid, sq_norms
+
+
+@jax.jit
+def _scatter_cols_t(data_t, slots, vals):
+    """Sweep-mirror update: scatter the same rows as COLUMNS of the [dpad, cap] mirror."""
+    return data_t.at[:, slots].set(vals.astype(jnp.float32).T.astype(data_t.dtype))
 
 
 @jax.jit
@@ -100,6 +109,7 @@ class NamespaceStore:
         self._data: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
         self._sq_norms: Optional[jax.Array] = None
+        self._data_t: Optional[jax.Array] = None  # transposed sweep mirror (config.sweep_dtype)
         # atomically-published snapshot tuple: readers must never assemble a state from
         # the individual attributes (a concurrent growth could interleave generations)
         self._state: Optional[DeviceState] = None
@@ -132,7 +142,10 @@ class NamespaceStore:
         if self._data is None:
             return 0
         itemsize = 2 if self.config.dtype == "bfloat16" else 4
-        return self.capacity * self.dpad * itemsize + self.capacity * (1 + 4)
+        total = self.capacity * self.dpad * itemsize + self.capacity * (1 + 4)
+        if self._data_t is not None:
+            total += self._data_t.size * self._data_t.dtype.itemsize
+        return total
 
     @property
     def ids(self) -> List[uuid_mod.UUID]:
@@ -149,6 +162,7 @@ class NamespaceStore:
         self._state = DeviceState(
             self._data, self._valid, self._sq_norms,
             self._high_water, len(self._id_to_slot),
+            self._data_t,
         )
 
     # ------------------------------------------------------------------ allocation
@@ -165,18 +179,30 @@ class NamespaceStore:
     def _storage_dtype(self):
         return jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
 
+    def _sweep_dtype(self):
+        """Dtype of the transposed sweep mirror, or None when the mirror is disabled."""
+        sd = self.config.sweep_dtype
+        if sd is None:
+            return None
+        return jnp.bfloat16 if sd == "bfloat16" else jnp.float32
+
     def _alloc_arrays(self, new_cap: int) -> None:
         """Create or grow the device arrays to new_cap rows (hook for sharded variant)."""
         dtype = self._storage_dtype()
+        sdt = self._sweep_dtype()
         if self._data is None:
             self._data = jnp.zeros((new_cap, self.dpad), dtype)
             self._valid = jnp.zeros((new_cap,), jnp.bool_)
             self._sq_norms = jnp.zeros((new_cap,), jnp.float32)
+            if sdt is not None:
+                self._data_t = jnp.zeros((self.dpad, new_cap), sdt)
         else:
             grow = new_cap - self.capacity
             self._data = jnp.pad(self._data, ((0, grow), (0, 0)))
             self._valid = jnp.pad(self._valid, (0, grow))
             self._sq_norms = jnp.pad(self._sq_norms, (0, grow))
+            if self._data_t is not None:
+                self._data_t = jnp.pad(self._data_t, ((0, 0), (0, grow)))
 
     def _grow_host_tables(self, new_cap: int) -> None:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
@@ -274,9 +300,12 @@ class NamespaceStore:
                 slots = np.concatenate([slots, np.full(nb - n, slots[0], np.int32)])
                 vals = np.concatenate([vals, np.broadcast_to(vals[0], (nb - n, self.dpad))])
 
+            slots_j, vals_j = jnp.asarray(slots), jnp.asarray(vals)
             self._data, self._valid, self._sq_norms = _scatter_rows(
-                self._data, self._valid, self._sq_norms, jnp.asarray(slots), jnp.asarray(vals)
+                self._data, self._valid, self._sq_norms, slots_j, vals_j
             )
+            if self._data_t is not None:
+                self._data_t = _scatter_cols_t(self._data_t, slots_j, vals_j)
             self.version += 1
             self._publish()
 
@@ -329,9 +358,12 @@ class NamespaceStore:
             if nb != n:
                 slots = np.concatenate([slots, np.full(nb - n, slots[0], np.int32)])
                 vals = np.concatenate([vals, np.broadcast_to(vals[0], (nb - n, self.dpad))])
+            slots_j, vals_j = jnp.asarray(slots), jnp.asarray(vals)
             self._data, self._valid, self._sq_norms = _scatter_rows(
-                self._data, self._valid, self._sq_norms, jnp.asarray(slots), jnp.asarray(vals)
+                self._data, self._valid, self._sq_norms, slots_j, vals_j
             )
+            if self._data_t is not None:
+                self._data_t = _scatter_cols_t(self._data_t, slots_j, vals_j)
             self.version += 1
             self._publish()
             return list(ids)
@@ -404,6 +436,9 @@ class NamespaceStore:
             if n:
                 buf[:n] = data_live
             self._data = jnp.asarray(buf, dtype)
+            sdt = self._sweep_dtype()
+            if sdt is not None:
+                self._data_t = jnp.asarray(buf.T, sdt)
             valid = np.zeros((new_cap,), bool)
             valid[:n] = True
             self._valid = jnp.asarray(valid)

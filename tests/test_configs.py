@@ -2,6 +2,7 @@
 padding), metric defaults — the MSMARCO/OpenAI-1536d and DEEP-bf16 configs of
 BASELINE.md exercised functionally."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -89,3 +90,30 @@ def test_metric_aliases_through_engine(small_config, rng):
         a = qp.find_similar(q, top_k=3, namespace="ns", metric=alias)
         c = qp.find_similar(q, top_k=3, namespace="ns", metric=canon)
         assert [r["id"] for r in a] == [r["id"] for r in c]
+
+
+def test_sweep_mirror_end_to_end(rng, oracle):
+    """sweep_dtype engine config: results stay oracle-exact through mutations (the CPU
+    scan backend ignores the mirror, but the store maintains it through every path;
+    on TPU the same config drives the transposed roofline kernel)."""
+    from mlvectordb_tpu import QueryProcessor, VectorDTO
+    from mlvectordb_tpu.config import EngineConfig
+
+    cfg = EngineConfig(
+        initial_capacity=64, capacity_multiple=32, sweep_dtype="bfloat16",
+        query_buckets=(4, 16), k_buckets=(8, 32), use_pallas=False,
+    )
+    qp = QueryProcessor(config=cfg)
+    vs = qp.upsert_many(
+        [VectorDTO(rng.standard_normal(16).astype(np.float32), {"i": i}) for i in range(120)],
+        "ns",
+    )
+    qp.delete([vs[5].id, vs[6].id], "ns")
+    db = np.stack([v.values for i, v in enumerate(vs) if i not in (5, 6)])
+    ids = [v.id for i, v in enumerate(vs) if i not in (5, 6)]
+    q = rng.standard_normal(16).astype(np.float32)
+    _, oidx = oracle(q[None, :], db, 5, "l2")
+    got = qp.find_similar(VectorDTO(q), top_k=5, namespace="ns", metric="l2")
+    assert [r["id"] for r in got] == [ids[i] for i in oidx[0]]
+    st = qp.storage.namespace("ns").device_state()
+    assert st.data_t is not None and st.data_t.dtype == jnp.bfloat16

@@ -1,0 +1,101 @@
+"""Transposed-sweep kernel (ops/pallas_knn_t.py): oracle equality in interpret mode.
+
+Same exactness contract as the row-major kernel; additionally covers the two-buffer
+mode (bf16 sweep + f32 rescan) and the boundary-tile-only tail mask.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlvectordb_tpu.ops.pallas_knn_t import DB_TILE, exact_knn_pallas_t
+from mlvectordb_tpu.ops.topk import exact_knn
+
+N = 2 * DB_TILE
+D = 128
+
+
+def _mk(rng, n=N, d=D):
+    db = rng.standard_normal((n, d), dtype=np.float32)
+    sq = (db.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    return jnp.asarray(db), jnp.asarray(sq)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_matches_scan_backend(rng, metric, masked):
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    dp, ipx = exact_knn_pallas_t(
+        q, db.T, db, valid, sq, k=5, metric=metric,
+        live_prefix=None if masked else N,
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=5, metric=metric, db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_bf16_sweep_f32_rescan_matches_oracle(rng):
+    """Two-buffer mode: phase 1 ranks on the bf16 mirror, rescan scores the f32 rows —
+    results must match the f32 oracle set-exactly and scores must be f32-accurate."""
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    db16t = db.T.astype(jnp.bfloat16)
+    dp, ipx = exact_knn_pallas_t(q, db16t, db, valid, sq, k=10, metric="l2", live_prefix=N)
+    da, ia = exact_knn(q, db, valid, sq, k=10, metric="l2", db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tail_mask_excludes_unwritten_rows(rng):
+    db_np = rng.standard_normal((N, D)).astype(np.float32) + 3.0
+    hw = N - DB_TILE // 2  # high water mid-tile: the straddling tile must mask
+    db_np[hw:] = 0.0  # unwritten rows are zeros => l2 dist 0 for a zero query
+    db = jnp.asarray(db_np)
+    sq = jnp.asarray((db_np ** 2).sum(-1))
+    q = jnp.zeros((8, D), jnp.float32)
+    valid = jnp.ones((N,), jnp.bool_)
+    dp, ipx = exact_knn_pallas_t(q, db.T, db, valid, sq, k=5, metric="l2", live_prefix=hw)
+    assert (np.asarray(ipx) < hw).all(), "phantom unwritten row admitted"
+
+
+def test_masked_variant_excludes_tombstones(rng):
+    db, sq = _mk(rng)
+    q = jnp.asarray(np.asarray(db[5:13]) + 0.001)
+    valid = np.ones(N, bool)
+    valid[5] = False
+    dp, ipx = exact_knn_pallas_t(
+        q, db.T, db, jnp.asarray(valid), sq, k=3, metric="l2", live_prefix=None
+    )
+    assert 5 not in np.asarray(ipx)[0].tolist()
+    assert np.asarray(ipx)[1, 0] == 6
+
+
+def test_small_capacity_falls_back_to_scan(rng):
+    db, sq = _mk(rng, n=512)
+    q = jnp.asarray(rng.standard_normal((4, D), dtype=np.float32))
+    valid = jnp.ones((512,), jnp.bool_)
+    dp, ipx = exact_knn_pallas_t(q, db.T, db, valid, sq, k=3, metric="l2", live_prefix=512)
+    da, ia = exact_knn(q, db, valid, sq, k=3, metric="l2", db_tile=512)
+    np.testing.assert_array_equal(np.asarray(ipx), np.asarray(ia))
+
+
+def test_k_clamps_and_pads(rng):
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    # big k on the fused path (k*r1 <= cap holds for r1=32 only when k small; force r1)
+    dp, ipx = exact_knn_pallas_t(
+        q, db.T, db, valid, sq, k=128, metric="l2", live_prefix=N, r1_override=8
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=128, metric="l2", db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())

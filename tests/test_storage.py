@@ -224,3 +224,43 @@ def test_host_mirror_disabled_through_engine(small_config, rng):
     qp.delete([v.id for v in vs[:15]], "ns")
     res = qp.find_similar(VectorDTO(vs[17].values), top_k=1, namespace="ns", metric="l2")
     assert res[0]["id"] == vs[17].id
+
+
+def test_sweep_mirror_tracks_store(rng):
+    """config.sweep_dtype maintains a transposed mirror that must equal data.T after
+    every mutation class: upsert, overwrite, bulk load, growth, delete+compaction."""
+    import jax
+    import numpy as np
+    from mlvectordb_tpu.config import EngineConfig
+    from mlvectordb_tpu.store.namespace import NamespaceStore
+    from mlvectordb_tpu.store.vector import Vector
+
+    cfg = EngineConfig(
+        initial_capacity=64, capacity_multiple=32, sweep_dtype="float32", use_pallas=False
+    )
+    ns = NamespaceStore("m", cfg)
+
+    def check():
+        st = ns.device_state()
+        assert st.data_t is not None
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(st.data_t)),
+            np.asarray(jax.device_get(st.data)).T,
+        )
+
+    vs = [Vector(rng.standard_normal(8).astype(np.float32), {"i": i}) for i in range(20)]
+    ns.upsert(vs)
+    check()
+    ns.upsert([Vector(rng.standard_normal(8).astype(np.float32), {}, id=vs[3].id)])
+    check()
+    ns.bulk_upsert(rng.standard_normal((100, 8)).astype(np.float32))  # forces growth
+    check()
+    ns.delete([v.id for v in vs[:10]])
+    check()
+    ns.compact()
+    check()
+
+    # disabled by default
+    ns2 = NamespaceStore("n", EngineConfig(use_pallas=False))
+    ns2.upsert(vs[:2])
+    assert ns2.device_state().data_t is None
