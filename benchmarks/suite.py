@@ -33,13 +33,18 @@ def main() -> int:
     import jax.numpy as jnp
 
     from benchmarks.timing import device_seconds_per_call
-    from mlvectordb_tpu.ops.pallas_knn import exact_knn_pallas
+    from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t
     from mlvectordb_tpu.ops.topk import exact_knn
 
     on_tpu = jax.default_backend() == "tpu"
-    backend = exact_knn_pallas if on_tpu else (
-        lambda *a, **kw: exact_knn(*a, **{x: v for x, v in kw.items() if x != "live_prefix"})
-    )
+
+    def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None):
+        # the serving configuration: transposed sweep mirror + f32 rescan
+        if on_tpu and ddt is not None:
+            return exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=k, metric=metric,
+                                      live_prefix=live_prefix)
+        return exact_knn(qq, dd, vv, ss, k=k, metric=metric, db_tile=4096)
+
     rng = np.random.default_rng(42)
     results = []
 
@@ -56,27 +61,94 @@ def main() -> int:
         sq = jnp.sum(jnp.asarray(db, jnp.float32) ** 2, axis=-1)
         return db, dbj, sq
 
-    # ---------------- SIFT-1M shape: l2, k=100, batched (BASELINE config #2) --------
+    # ---------------- SIFT-1M: l2, k in {10, 100, 1000}, batched (config #2) --------
+    # real SIFT-1M when a local copy exists; faithful clustered synthesis otherwise
+    from benchmarks.datasets import load_sift1m
+
     N = 1 << (17 if args.quick else 20)
     D, B = 128, 128
-    db_np, db, sq = mk(N, D)
+    ds = load_sift1m(limit=N, n_queries=B)
+    sift = np.zeros((N, 128), np.float32)
+    sift[: len(ds["data"]), : ds["data"].shape[1]] = ds["data"][:N]
+    db_np = sift
+    db = jnp.asarray(db_np)
+    db_t = db.T.astype(jnp.bfloat16)
+    sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
-    q = jnp.asarray(rng.standard_normal((B, D), dtype=np.float32))
-    for K in (10, 100):
+    qs_np = np.zeros((B, 128), np.float32)
+    qs_np[:, : ds["queries"].shape[1]] = ds["queries"][:B]
+    q = jnp.asarray(qs_np)
+
+    # recall gate on the suite's own data before any timing
+    d_or = (
+        (db_np ** 2).sum(-1)[None, :]
+        - 2.0 * (qs_np @ db_np.T)
+        + (qs_np ** 2).sum(-1)[:, None]
+    )
+    i_or10 = np.argpartition(d_or, 10, axis=1)[:, :10]
+    _, i_eng = backend(q, db, valid, sq, k=10, metric="l2", live_prefix=N, ddt=db_t)
+    i_eng = np.asarray(i_eng)
+    recall = np.mean([
+        len(set(i_eng[b].tolist()) & set(i_or10[b].tolist())) / 10 for b in range(B)
+    ])
+    log(f"{ds['name']} recall@10 gate: {recall}")
+    assert recall == 1.0, f"exactness violated on {ds['name']}: recall={recall}"
+    emit("sift1m_recall_at_10", recall, "recall", dataset=ds["name"], kind=ds["kind"])
+
+    # k=1000 is the REST contract's top_k cap (reference rest_api.py:24)
+    for K in (10, 100, 1000):
         t = device_seconds_per_call(
-            lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=K, metric="l2", live_prefix=N),
-            [q, db, valid, sq], iters=8,
+            lambda qq, ddt, dd, vv, ss, _k=K: backend(
+                qq, dd, vv, ss, k=_k, metric="l2", live_prefix=N, ddt=ddt
+            ),
+            [q, db_t, db, valid, sq], iters=8,
         )
-        log(f"SIFT-1M l2 k={K}: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
-        emit(f"sift1m_l2_k{K}_qps", B / t, "qps", batch=B, n=N)
+        log(f"{ds['name']} l2 k={K}: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
+        emit(f"sift1m_l2_k{K}_qps", B / t, "qps", batch=B, n=N, dataset=ds["name"])
 
     # range query: top-limit + threshold (limit=1000 path)
     t = device_seconds_per_call(
-        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=1000, metric="l2", live_prefix=N),
-        [q[:8], db, valid, sq], iters=6,
+        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=1000, metric="l2",
+                                            live_prefix=N, ddt=ddt),
+        [q[:8], db_t, db, valid, sq], iters=6,
     )
-    log(f"SIFT-1M range(limit=1000): {t*1e3:.3f} ms/batch-8")
+    log(f"{ds['name']} range(limit=1000): {t*1e3:.3f} ms/batch-8")
     emit("sift1m_range_limit1000_ms_batch8", t * 1e3, "ms", n=N)
+
+    # ---------------- IVF recall@10 vs nprobe curve (the approximate-knob gate) -----
+    # measured on the clustered corpus — recall at small nprobe is only meaningful on
+    # realistically clustered data (VERDICT r1 #5/#9)
+    from mlvectordb_tpu import QueryProcessor, VectorDTO
+    from mlvectordb_tpu.config import EngineConfig
+
+    ivf_n = min(N, 1 << 17)
+    qp_ivf = QueryProcessor(config=EngineConfig())
+    qp_ivf.bulk_load(db_np[:ivf_n], "ivf")
+    qp_ivf.build_ivf("ivf", n_clusters=min(1024, ivf_n // 64))
+    d_or_ivf = (
+        (db_np[:ivf_n] ** 2).sum(-1)[None, :]
+        - 2.0 * (qs_np[:32] @ db_np[:ivf_n].T)
+        + (qs_np[:32] ** 2).sum(-1)[:, None]
+    )
+    true10 = [set(np.argpartition(d_or_ivf[i], 10)[:10].tolist()) for i in range(32)]
+    curve = {}
+    for nprobe in (1, 2, 4, 8, 16):
+        got = qp_ivf.find_similar_batch(
+            [VectorDTO(row) for row in qs_np[:32]], 10, "ivf", "l2", nprobe=nprobe
+        )
+        hits = 0
+        ns_ivf = qp_ivf.storage.namespace("ivf")
+        for i, rs in enumerate(got):
+            got_idx = {ns_ivf._id_to_slot[r["id"]] for r in rs}
+            hits += len(got_idx & true10[i])
+        curve[nprobe] = hits / (32 * 10)
+        log(f"IVF recall@10 nprobe={nprobe}: {curve[nprobe]:.3f}")
+    emit("ivf_recall_at_10_vs_nprobe", curve[4], "recall",
+         curve={str(k2): round(v, 4) for k2, v in curve.items()},
+         dataset=ds["name"], n=ivf_n)
+    # the gate: on clustered data modest probing must recover most true neighbours
+    assert curve[16] >= 0.9, f"IVF recall collapsed on clustered data: {curve}"
+    del qp_ivf
 
     # ---------------- GloVe shape: cosine + metadata filter (config #3) -------------
     # 100-d lane-padded to 128; filter via masked kernel variant
@@ -84,8 +156,9 @@ def main() -> int:
     mask[::2] = False  # 50% selectivity filter mask
     vmask = jnp.asarray(mask)
     t = device_seconds_per_call(
-        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine", live_prefix=None),
-        [q, db, vmask, sq], iters=8,
+        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
+                                            live_prefix=None, ddt=ddt),
+        [q, db_t, db, vmask, sq], iters=8,
     )
     log(f"GloVe-shape cosine hybrid (50% filter): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("glove_cosine_hybrid_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)
@@ -93,14 +166,16 @@ def main() -> int:
     # ---------------- DEEP-10M shape: bf16 (config #4, single-chip portion) ---------
     N2 = 1 << (18 if args.quick else 23)  # 8.4M rows x 128 lanes bf16 = 2 GB
     _, db2, sq2 = mk(N2, 128, as_bf16=True)
+    db2_t = db2.T
     valid2 = jnp.ones((N2,), jnp.bool_)
     t = device_seconds_per_call(
-        lambda qq, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine", live_prefix=N2),
-        [q, db2, valid2, sq2], iters=6,
+        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
+                                            live_prefix=N2, ddt=ddt),
+        [q, db2_t, db2, valid2, sq2], iters=6,
     )
     log(f"DEEP-10M-shape bf16 ({N2} rows): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("deep8m_bf16_cosine_qps", B / t, "qps", batch=B, n=N2, dtype="bfloat16")
-    del db2, sq2, valid2
+    del db2, sq2, valid2, db2_t
 
     # ---------------- streaming upsert throughput (config #5 single-chip slice) -----
     from mlvectordb_tpu import QueryProcessor, VectorDTO

@@ -99,3 +99,20 @@ def test_k_clamps_and_pads(rng):
     da, ia = exact_knn(q, db, valid, sq, k=128, metric="l2", db_tile=DB_TILE)
     for b in range(8):
         assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+
+
+def test_k1000_oracle_equality(rng):
+    """k=1000 is the REST contract's cap (reference rest_api.py:24) — the fused path
+    must cover it with set-exact results (VERDICT r1 next-step #7)."""
+    db, sq = _mk(rng, n=4 * DB_TILE)
+    n = 4 * DB_TILE
+    q = jnp.asarray(rng.standard_normal((4, D), dtype=np.float32))
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx = exact_knn_pallas_t(q, db.T, db, valid, sq, k=1000, metric="l2",
+                                 live_prefix=n, r1_override=8)
+    da, ia = exact_knn(q, db, valid, sq, k=1000, metric="l2", db_tile=DB_TILE)
+    for b in range(4):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
+    )
