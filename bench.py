@@ -143,6 +143,16 @@ def main() -> int:
     )
     log(f"batch-8 latency: {t_lat*1e3:.3f} ms (p50-equivalent)")
 
+    # batch-512 row: phase 1 is one database sweep regardless of batch, so large
+    # serving batches amortize it (the micro-batcher coalesces traffic into these)
+    q512 = jnp.asarray(np.repeat(q_np, 4, axis=0))
+    t_512, _ = median_device_time(
+        (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt)) if on_tpu
+        else (lambda qq, dd, ss: search(qq, dd, valid, ss, None)),
+        [q512, db_t, db, sq] if on_tpu else [q512, db, sq], runs=3,
+    )
+    log(f"batch-512: {t_512*1e3:.3f} ms = {512/t_512:,.0f} QPS/chip")
+
     # k=100 row (BASELINE config #2 names k=100)
     t_k100, _ = median_device_time(
         (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt, k=100)) if on_tpu
@@ -171,12 +181,22 @@ def main() -> int:
         wall.append(time.perf_counter() - t0)
     wall_med = statistics.median(wall)
     engine_qps = B / wall_med
+
+    # itemize host-side hydration separately from the relay round trips
+    dist, slots, ns, resolver = qp._raw_search(q_np, "bench", K, "l2", None)
+    user = qp._to_user_score(dist, "l2")
+    t0 = time.perf_counter()
+    for i in range(B):
+        qp._hydrate_scored(user[i], dist[i], slots[i], ns, resolver)
+    hydrate_ms = (time.perf_counter() - t0) * 1e3
     gap = {
         "kernel_ms": round(t_med * 1e3, 3),
         "engine_wall_ms": round(wall_med * 1e3, 3),
-        # itemization of the kernel->engine gap: one device readback through the
-        # shared axon relay costs ~28 ms RTT; hydration is the remaining host time
-        "relay_rtt_and_hydration_ms": round((wall_med - t_med) * 1e3, 3),
+        "hydration_ms": round(hydrate_ms, 3),
+        # the remainder is device dispatch + host<->device transfers; through the
+        # shared axon relay each round trip costs ~28 ms that co-located serving
+        # would not pay
+        "relay_transfers_ms": round((wall_med * 1e3) - t_med * 1e3 - hydrate_ms, 3),
     }
     log(f"engine: {wall_med*1e3:.1f} ms wall / {B} queries = {engine_qps:,.0f} QPS "
         f"(gap itemized: {gap})")
@@ -194,6 +214,7 @@ def main() -> int:
         "engine_qps": round(engine_qps, 1),
         "engine_gap": gap,
         "k100_qps": round(B / t_k100, 1),
+        "batch512_qps": round(512 / t_512, 1),
         "batch8_latency_ms": round(t_lat * 1e3, 3),
         "runs_ms": [round(x * 1e3, 3) for x in runs],
     }))

@@ -61,6 +61,10 @@ class ShardingManager:
     def db_sharding_2d(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(SHARD_AXIS, None))
 
+    def db_sharding_2d_t(self) -> NamedSharding:
+        """Transposed sweep mirror [D, cap]: columns follow the rows' shard."""
+        return NamedSharding(self.mesh, P(None, SHARD_AXIS))
+
     def query_sharding(self) -> NamedSharding:
         """Query batches: split over 'replica', replicated over 'shard'."""
         return NamedSharding(self.mesh, P(REPLICA_AXIS, None))
@@ -80,27 +84,38 @@ class ShardingManager:
     @functools.partial(
         jax.jit, static_argnames=("self", "k", "metric", "db_tile")
     )
-    def sharded_knn(self, q, data, valid, sq_norms, *, k, metric, db_tile=8192):
+    def sharded_knn(self, q, data, valid, sq_norms, data_t=None, *, k, metric, db_tile=8192):
         """Exact kNN over the sharded database.
 
         q [B, D] (replica-sharded), data [cap, D] / valid [cap] / sq_norms [cap]
-        (shard-sharded).  Returns (dist [B, k], idx [B, k]) with GLOBAL slot indices,
-        replica-sharded like q.
+        (shard-sharded); optional data_t [D, cap] transposed sweep mirror (sharded on
+        its column axis) — per-shard search then runs the roofline transposed kernel
+        (ops/pallas_knn_t.py) with the row-major shard as its exact rescan source.
+        Returns (dist [B, k], idx [B, k]) with GLOBAL slot indices, replica-sharded
+        like q.
         """
         cap = data.shape[0]
         shard_rows = cap // self.n_shards
 
-        def local(q_loc, data_loc, valid_loc, sqn_loc):
+        def local(q_loc, data_loc, valid_loc, sqn_loc, *rest):
             kk = min(k, shard_rows)
             # per-shard kernel: the fused Pallas path on TPU (masked variant — liveness
             # is shard-local), which itself falls back to the XLA scan for small shards
             # (CPU-simulated meshes in tests land there automatically)
-            from ..ops.pallas_knn import exact_knn_pallas
+            if rest:
+                from ..ops.pallas_knn_t import exact_knn_pallas_t
 
-            d, i = exact_knn_pallas(
-                q_loc, data_loc, valid_loc, sqn_loc,
-                k=kk, metric=metric, db_tile=min(db_tile, shard_rows),
-            )
+                d, i = exact_knn_pallas_t(
+                    q_loc, rest[0], data_loc, valid_loc, sqn_loc,
+                    k=kk, metric=metric,
+                )
+            else:
+                from ..ops.pallas_knn import exact_knn_pallas
+
+                d, i = exact_knn_pallas(
+                    q_loc, data_loc, valid_loc, sqn_loc,
+                    k=kk, metric=metric, db_tile=min(db_tile, shard_rows),
+                )
             # local slot -> global slot
             i = i + jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * shard_rows
             # cross-shard merge over ICI: all_gather candidates, fold with merge_topk
@@ -121,13 +136,18 @@ class ShardingManager:
                 bi = jnp.pad(bi, ((0, 0), (0, pad)))
             return bd, bi
 
+        in_specs = [P(REPLICA_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)]
+        args = [q, data, valid, sq_norms]
+        if data_t is not None:
+            in_specs.append(P(None, SHARD_AXIS))  # mirror columns follow the rows' shard
+            args.append(data_t)
         return shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(REPLICA_AXIS, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+            in_specs=tuple(in_specs),
             out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
             check_vma=False,
-        )(q, data, valid, sq_norms)
+        )(*args)
 
 
 def merge_shard_results(

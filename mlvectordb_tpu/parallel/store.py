@@ -43,6 +43,16 @@ def _regrow(data, valid, sq_norms, *, n_shards, old_shard_cap, new_shard_cap):
     return data, valid, sq_norms
 
 
+@functools.partial(jax.jit, static_argnames=("n_shards", "old_shard_cap", "new_shard_cap"))
+def _regrow_t(data_t, *, n_shards, old_shard_cap, new_shard_cap):
+    """Same per-shard regrow for the transposed mirror's COLUMN axis [D, S*c]."""
+    D = data_t.shape[0]
+    pad = new_shard_cap - old_shard_cap
+    return jnp.pad(
+        data_t.reshape(D, n_shards, old_shard_cap), ((0, 0), (0, 0), (0, pad))
+    ).reshape(D, n_shards * new_shard_cap)
+
+
 class ShardedNamespaceStore(NamespaceStore):
     """NamespaceStore whose device state is sharded across the mesh."""
 
@@ -71,13 +81,17 @@ class ShardedNamespaceStore(NamespaceStore):
         p = self.config.capacity_multiple
         per_shard = -(-per_shard // p) * p
         dtype = self._storage_dtype()
+        sdt = self._sweep_dtype()
         spec2d = self.sharding.db_sharding_2d()
         spec1d = self.sharding.db_sharding()
+        spec2d_t = self.sharding.db_sharding_2d_t()
         if self._data is None:
             total = per_shard * self.n_shards
             self._data = jax.device_put(jnp.zeros((total, self.dpad), dtype), spec2d)
             self._valid = jax.device_put(jnp.zeros((total,), jnp.bool_), spec1d)
             self._sq_norms = jax.device_put(jnp.zeros((total,), jnp.float32), spec1d)
+            if sdt is not None:
+                self._data_t = jax.device_put(jnp.zeros((self.dpad, total), sdt), spec2d_t)
         else:
             old = self.shard_capacity
             self._data, self._valid, self._sq_norms = _regrow(
@@ -87,6 +101,12 @@ class ShardedNamespaceStore(NamespaceStore):
             self._data = jax.device_put(self._data, spec2d)
             self._valid = jax.device_put(self._valid, spec1d)
             self._sq_norms = jax.device_put(self._sq_norms, spec1d)
+            if self._data_t is not None:
+                self._data_t = jax.device_put(
+                    _regrow_t(self._data_t, n_shards=self.n_shards,
+                              old_shard_cap=old, new_shard_cap=per_shard),
+                    spec2d_t,
+                )
             # remap host tables: slot shard*old+local -> shard*new+local
             remap = {}
             for vid, slot in self._id_to_slot.items():
@@ -192,6 +212,6 @@ class ShardedNamespaceStore(NamespaceStore):
         state = self.device_state()
         valid = state.valid if valid_override is None else valid_override
         return self.sharding.sharded_knn(
-            q, state.data, valid, state.sq_norms,
+            q, state.data, valid, state.sq_norms, state.data_t,
             k=k, metric=metric, db_tile=self.config.db_tile,
         )

@@ -215,3 +215,48 @@ def test_sharded_compaction_preserves_ivf(rng, small_config):
     assert ns._tombstones == 0 and ns.ivf is not None
     res = qp.find_similar(VectorDTO(values=vs[80].values), top_k=1, namespace="ns", nprobe=4)
     assert res[0]["id"] == vs[80].id
+
+
+def test_sharded_store_maintains_transposed_mirror(rng, oracle):
+    """sweep_dtype on a sharded namespace: the [D, cap] mirror is sharded on its column
+    axis, tracks every mutation class, and sharded_search stays oracle-exact."""
+    from mlvectordb_tpu.config import EngineConfig
+
+    cfg = EngineConfig(
+        initial_capacity=64, capacity_multiple=32, db_tile=64,
+        query_buckets=(8, 64), k_buckets=(8, 32),
+        use_pallas=False, sweep_dtype="float32",
+    )
+    qp = make_distributed_processor(n_replicas=2, n_shards=4, config=cfg)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(16).astype(np.float32), {"i": i}) for i in range(200)],
+        "ns",
+    )
+    ns = qp.storage.namespace("ns")
+    st = ns.device_state()
+    assert st.data_t is not None
+    # mirror equals data.T and is sharded over the column axis
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(st.data_t)), np.asarray(jax.device_get(st.data)).T
+    )
+    from jax.sharding import PartitionSpec as P
+
+    assert st.data_t.sharding.spec == P(None, "shard")
+
+    # growth keeps the mirror consistent
+    qp.upsert_many(
+        [dto(rng.standard_normal(16).astype(np.float32)) for _ in range(800)], "ns"
+    )
+    st = ns.device_state()
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(st.data_t)), np.asarray(jax.device_get(st.data)).T
+    )
+
+    # search through the mirror-passing sharded path stays oracle-exact
+    qp.delete([vs[3].id], "ns")
+    live = [v for v in qp.get_namespace_vectors("ns")]
+    db = np.stack([v.values for v in live])
+    q = rng.standard_normal(16).astype(np.float32)
+    _, oidx = oracle(q[None, :], db, 5, "l2")
+    got = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="l2")
+    assert [r["id"] for r in got] == [live[i].id for i in oidx[0]]
