@@ -275,7 +275,7 @@ class QueryProcessor:
         if k_eff <= 0:
             B = q_np.shape[0]
             empty = np.zeros((B, 0))
-            return empty, empty.astype(np.int32), ns, ns.slot_to_id
+            return empty, empty.astype(np.int32), ns, None  # None resolver = store slots (fast hydration)
         kb = min(self.config.bucket_k(k_eff), state.valid.shape[0])
         B = q_np.shape[0]
         Bb = self.config.bucket_batch(B)
@@ -306,7 +306,7 @@ class QueryProcessor:
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately
         # doubles the engine's per-batch latency for no reason
         dist, idx = jax.device_get((dist, idx))
-        return dist[:B, :k_eff], idx[:B, :k_eff], ns, ns.slot_to_id
+        return dist[:B, :k_eff], idx[:B, :k_eff], ns, None  # None resolver = store slots (fast hydration)
 
     def _to_user_score(self, dist: np.ndarray, metric: str) -> np.ndarray:
         # reference convention (index.py:121-128): cosine -> 1 - dist; else raw distance
@@ -377,10 +377,31 @@ class QueryProcessor:
         return results
 
     def _hydrate_scored(self, user_row, dist_row, slot_row, ns, resolver=None) -> List[Dict[str, Any]]:
-        resolver = resolver or ns.slot_to_id
+        half_masked = float(MASKED) / 2
         out = []
+        # Fast path: results carry STORE slots (the exact-search path) and the host
+        # mirror is on — read the slot tables directly instead of resolving
+        # slot->uuid->Vector per hit (a Vector construction costs ~5 us; a hot batch
+        # hydrates thousands).  Metadata dicts are copied (Vector did too); values
+        # intentionally alias the host mirror, same as the Vector path.
+        if resolver is None and ns.host_mirror:
+            ids, metas, vals = ns._slot_ids, ns._slot_meta, ns._slot_values
+            n_slots = len(ids)
+            for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
+                if d >= half_masked or not 0 <= slot < n_slots:
+                    continue
+                vid = ids[slot]
+                if vid is None:
+                    continue
+                v = vals[slot]
+                if v is None:
+                    continue
+                m = metas[slot]
+                out.append({"id": vid, "values": v, "metadata": dict(m) if m else {}, "score": float(u)})
+            return out
+        resolver = resolver or ns.slot_to_id
         for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
-            if d >= float(MASKED) / 2:
+            if d >= half_masked:
                 continue
             vid = resolver(int(slot))
             if vid is None:
