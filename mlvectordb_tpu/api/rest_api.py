@@ -423,7 +423,11 @@ class RestAPI:
     async def delete_namespace(self, request: web.Request) -> web.Response:
         ns = request.query.get("namespace", "default")
         try:
-            ok = await self._run(self.query_processor.storage.delete_namespace, ns)
+            delete_ns = getattr(
+                self.query_processor, "delete_namespace",
+                self.query_processor.storage.delete_namespace,
+            )
+            ok = await self._run(delete_ns, ns)
             if not ok:
                 return _error(f"Namespace not found: {ns}", 404)
             return _json({"status": "success", "message": f"Namespace {ns} deleted"})

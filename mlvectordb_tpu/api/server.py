@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db-tile", type=int, default=8192, help="Database-axis kernel tile size")
     p.add_argument("--snapshot", default=None, help="Snapshot directory to load on startup")
     p.add_argument(
+        "--wal",
+        default=None,
+        help="Write-ahead-log directory: mutations are logged before applying and "
+        "replayed on startup (crash durability between snapshots)",
+    )
+    p.add_argument(
+        "--wal-fsync",
+        action="store_true",
+        help="fsync every WAL record (survives host power loss, slower writes)",
+    )
+    p.add_argument(
         "--snapshot-interval",
         type=float,
         default=0.0,
@@ -102,8 +113,10 @@ def main(argv=None) -> None:
         db_tile=args.db_tile,
         use_pallas=not args.no_pallas,
     )
-    if args.snapshot and os.path.isdir(args.snapshot):
-        qp = QueryProcessor.load(args.snapshot, config)
+    if args.snapshot or args.wal:
+        qp = QueryProcessor.load(
+            args.snapshot or "", config, wal_path=args.wal, wal_fsync=args.wal_fsync
+        )
     else:
         qp = QueryProcessor(config=config)
     if args.snapshot and args.snapshot_interval > 0:

@@ -86,6 +86,10 @@ class QueryProcessor:
         self._result_cache: Dict[Any, List[List[Dict[str, Any]]]] = {}
         self._result_cache_hits = 0
         self._result_cache_lock = threading.Lock()
+        # optional write-ahead log (enable_wal): mutations are logged-then-applied so
+        # a crash loses nothing past the last flushed record (engine/wal.py)
+        self._wal = None
+        self._wal_replaying = False
 
     def _result_cache_key(self, q_np, top_k, namespace, metric, filter, nprobe):
         ns = self.storage.namespace(namespace)
@@ -99,6 +103,27 @@ class QueryProcessor:
         # recreated, so (name, version) alone can resurrect a dead incarnation's results
         return (namespace, ns.incarnation, ns.version, h, top_k, metric, fk, nprobe)
 
+    # ------------------------------------------------------------------ durability
+
+    def enable_wal(self, path: str, fsync: bool = False) -> None:
+        """Log every mutation to ``path`` BEFORE applying it (crash durability for the
+        window between snapshots).  Recover with QueryProcessor.load(snap, wal_path=...)
+        or the server's --wal flag; save() rotates and prunes covered segments."""
+        from .wal import WriteAheadLog
+
+        self._wal = WriteAheadLog(path, fsync=fsync)
+
+    def _wal_upsert(self, vs: Sequence[Vector], namespace: str) -> None:
+        if self._wal is None or self._wal_replaying or not vs:
+            return
+        self._wal.append(
+            "upsert",
+            namespace,
+            ids=[v.id for v in vs],
+            values=np.stack([v.values for v in vs]),
+            metadatas=[v.metadata for v in vs],
+        )
+
     # ------------------------------------------------------------------ writes
 
     def _materialize(self, dto: VectorDTO) -> Vector:
@@ -107,6 +132,7 @@ class QueryProcessor:
     def insert(self, vector: VectorDTO, namespace: str = "default") -> Vector:
         with self._write_lock:
             v = self._materialize(vector)
+            self._wal_upsert([v], namespace)
             self.storage.write(v, namespace)
             self._sync_ivf_add(namespace, [v])
             return v
@@ -118,6 +144,7 @@ class QueryProcessor:
         (fixing the reference's insert-only 'upsert', SURVEY.md §3.2)."""
         with self._write_lock, trace_span("upsert", namespace=namespace, count=len(vectors)):
             vs = [self._materialize(d) for d in vectors]
+            self._wal_upsert(vs, namespace)
             self.storage.write_vectors(vs, namespace)
             self._sync_ivf_add(namespace, vs)
             return vs
@@ -127,12 +154,20 @@ class QueryProcessor:
     ) -> List[uuid_mod.UUID]:
         with self._write_lock, trace_span("delete", namespace=namespace):
             ids = list(vector_ids)
+            if self._wal is not None and not self._wal_replaying and ids:
+                self._wal.append("delete", namespace, ids=ids)
             removed = self.storage.delete_vectors(ids, namespace)
             ns = self.storage.namespace(namespace)
             ivf = getattr(ns, "ivf", None) if ns is not None else None
             if ivf is not None and removed:
                 ivf.delete(removed)
             return removed
+
+    def delete_namespace(self, namespace: str) -> bool:
+        with self._write_lock:
+            if self._wal is not None and not self._wal_replaying:
+                self._wal.append("delete_namespace", namespace)
+            return self.storage.delete_namespace(namespace)
 
     def bulk_load(
         self,
@@ -155,13 +190,17 @@ class QueryProcessor:
             ns = self.storage.namespace(namespace, create=True)
             for lo in range(0, n, batch_rows):
                 hi = min(lo + batch_rows, n)
-                out.extend(
-                    ns.bulk_upsert(
-                        values[lo:hi],
-                        ids[lo:hi] if ids is not None else None,
-                        metadatas[lo:hi] if metadatas is not None else None,
-                    )
+                got = ns.bulk_upsert(
+                    values[lo:hi],
+                    ids[lo:hi] if ids is not None else None,
+                    metadatas[lo:hi] if metadatas is not None else None,
                 )
+                if self._wal is not None and not self._wal_replaying:
+                    self._wal.append(
+                        "upsert", namespace, ids=got, values=values[lo:hi],
+                        metadatas=list(metadatas[lo:hi]) if metadatas is not None else None,
+                    )
+                out.extend(got)
             ivf = getattr(ns, "ivf", None)
             if ivf is not None:
                 ivf.add(
@@ -581,16 +620,64 @@ class QueryProcessor:
     def save(self, path: str) -> None:
         from .persist import save_storage
 
-        save_storage(self.storage, path)
+        # WAL discipline: rotate under the write lock so every record the snapshot
+        # will cover is in a sealed segment, snapshot, then prune the sealed segments.
+        # Writes landing in the fresh segment during the snapshot replay idempotently.
+        if self._wal is not None:
+            with self._write_lock:
+                sealed = self._wal.rotate()
+            save_storage(self.storage, path)
+            self._wal.prune(sealed)
+        else:
+            save_storage(self.storage, path)
 
     @classmethod
     def load(
-        cls, path: str, config: EngineConfig = DEFAULT_CONFIG
+        cls,
+        path: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+        wal_path: Optional[str] = None,
+        wal_fsync: bool = False,
     ) -> "QueryProcessor":
+        """Restore from a snapshot directory; with ``wal_path``, additionally replay
+        the write-ahead log on top (recovering everything after the snapshot) and
+        keep logging to it."""
+        import os
+
         from .persist import load_storage
 
-        qp = cls(load_storage(path, config), config)
+        if os.path.isdir(path):
+            qp = cls(load_storage(path, config), config)
+        else:  # WAL-only recovery (crashed before the first snapshot)
+            qp = cls(config=config)
+        if wal_path is not None:
+            qp.replay_wal(wal_path)
+            qp.enable_wal(wal_path, fsync=wal_fsync)
         return qp
+
+    def replay_wal(self, wal_path: str) -> int:
+        """Re-apply logged mutations (idempotent); returns records applied."""
+        from .wal import WriteAheadLog
+
+        applied = 0
+        self._wal_replaying = True
+        try:
+            for rec in WriteAheadLog.replay(wal_path):
+                op, ns = rec["op"], rec["ns"]
+                if op == "upsert":
+                    self.bulk_load(
+                        rec["values"], ns,
+                        ids=[uuid_mod.UUID(x) for x in rec["ids"]],
+                        metadatas=rec.get("meta"),
+                    )
+                elif op == "delete":
+                    self.delete([uuid_mod.UUID(x) for x in rec["ids"]], ns)
+                elif op == "delete_namespace":
+                    self.storage.delete_namespace(ns)
+                applied += 1
+        finally:
+            self._wal_replaying = False
+        return applied
 
     # README-advertised persistence surface of the reference (SURVEY.md §0.1):
     # save_index/load_index and create_backup/restore_from_backup map onto snapshots.
