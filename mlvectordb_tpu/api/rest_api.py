@@ -296,6 +296,9 @@ class RestAPI:
         r.add_post("/ivf/build", self.ivf_build)
         r.add_delete("/ivf", self.ivf_drop)
         r.add_post("/warmup", self.warmup)
+        # HBM offload tier: park cold namespaces in host RAM, page in on first touch
+        r.add_post("/namespaces/offload", self.offload_namespace)
+        r.add_post("/namespaces/restore", self.restore_namespace)
         # bucketed content fingerprints: the router's cross-node reconcile primitive
         r.add_get("/fingerprint", self.fingerprint)
         # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
@@ -452,6 +455,27 @@ class RestAPI:
             return _json(self.query_processor.get_storage_info())
         except Exception as e:
             return _error(f"Failed to get storage info: {e}", 500)
+
+    async def offload_namespace(self, request: web.Request) -> web.Response:
+        ns = request.query.get("namespace", "default")
+        try:
+            ok = await self._run(self.query_processor.offload_namespace, ns)
+            if not ok:
+                return _error(f"Namespace '{ns}' not found or already offloaded", 404)
+            return _json({"status": "success", "message": f"Namespace '{ns}' offloaded to host RAM"})
+        except Exception as e:
+            return _error(f"Offload failed: {e}", 500)
+
+    async def restore_namespace(self, request: web.Request) -> web.Response:
+        ns = request.query.get("namespace", "default")
+        try:
+            ok = await self._run(self.query_processor.restore_namespace, ns)
+            return _json({
+                "status": "success",
+                "message": f"Namespace '{ns}' {'restored to device' if ok else 'was already resident'}",
+            })
+        except Exception as e:
+            return _error(f"Restore failed: {e}", 500)
 
     def _fingerprint_sync(self, namespace: str, buckets: int) -> dict:
         out = {}

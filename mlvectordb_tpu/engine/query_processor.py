@@ -169,6 +169,22 @@ class QueryProcessor:
                 self._wal.append("delete_namespace", namespace)
             return self.storage.delete_namespace(namespace)
 
+    # ------------------------------------------------------------------ HBM offload
+
+    def offload_namespace(self, namespace: str) -> bool:
+        """Move a cold namespace's device arrays to host RAM, freeing HBM for hot
+        ones.  Host-table reads keep working; the first search or write pages it back
+        in transparently (scale beyond one chip's HBM, SURVEY.md §5.7)."""
+        ns = self.storage.namespace(namespace)
+        if ns is None:
+            return False
+        with self._write_lock:
+            return ns.offload()
+
+    def restore_namespace(self, namespace: str) -> bool:
+        ns = self.storage.namespace(namespace)
+        return ns.ensure_resident() if ns is not None else False
+
     def bulk_load(
         self,
         values,                              # [n, dim] array-like

@@ -169,6 +169,15 @@ class ShardedNamespaceStore(NamespaceStore):
         sh = slot // self.shard_capacity
         self._shard_free[sh].append(slot)
 
+    def _restore_device_arrays(self, host) -> None:
+        """Offload page-in: re-apply the mesh shardings the plain restore lacks."""
+        super()._restore_device_arrays(host)
+        self._data = jax.device_put(self._data, self.sharding.db_sharding_2d())
+        self._valid = jax.device_put(self._valid, self.sharding.db_sharding())
+        self._sq_norms = jax.device_put(self._sq_norms, self.sharding.db_sharding())
+        if self._data_t is not None:
+            self._data_t = jax.device_put(self._data_t, self.sharding.db_sharding_2d_t())
+
     # ------------------------------------------------------------------ compaction
 
     def compact(self) -> None:

@@ -128,6 +128,10 @@ class NamespaceStore:
         self._meta_columns_tried = False
         # optional approximate index (store/ivf.py), attached by QueryProcessor.build_ivf
         self.ivf = None
+        # host-RAM offload state (offload()/ensure_resident()): lets cold namespaces
+        # vacate HBM and page back in on first touch — the scale axis beyond one
+        # chip's memory (SURVEY.md §5.7)
+        self._offloaded: Optional[Dict[str, Any]] = None
 
     # ------------------------------------------------------------------ properties
 
@@ -140,6 +144,9 @@ class NamespaceStore:
         """Exact device-array byte accounting (replaces the reference's sys.getsizeof walk,
         storage_engine_in_memory.py:22-30)."""
         if self._data is None:
+            # offloaded namespaces hold no HBM; count their host copy instead
+            if self._offloaded is not None:
+                return sum(int(a.nbytes) for a in self._offloaded.values())
             return 0
         itemsize = 2 if self.config.dtype == "bfloat16" else 4
         total = self.capacity * self.dpad * itemsize + self.capacity * (1 + 4)
@@ -154,8 +161,56 @@ class NamespaceStore:
     def device_state(self) -> DeviceState:
         state = self._state  # single attribute read = atomic under the GIL
         if state is None:
-            raise ValueError(f"namespace {self.name!r} is empty")
+            if self._offloaded is not None:
+                self.ensure_resident()
+                state = self._state
+            if state is None:
+                raise ValueError(f"namespace {self.name!r} is empty")
         return state
+
+    # ------------------------------------------------------------------ HBM offload
+
+    @property
+    def offloaded(self) -> bool:
+        return self._offloaded is not None
+
+    def offload(self) -> bool:
+        """Move the device arrays to host RAM and free their HBM.  Reads that hit the
+        host tables (get/all_vectors with host_mirror) keep working; the first search
+        or mutation pages the namespace back in transparently."""
+        with self._lock:
+            if self._data is None or self._offloaded is not None:
+                return False
+            self._offloaded = {
+                "data": np.asarray(jax.device_get(self._data)),
+                "valid": np.asarray(jax.device_get(self._valid)),
+                "sq_norms": np.asarray(jax.device_get(self._sq_norms)),
+            }
+            self._data = self._valid = self._sq_norms = None
+            self._data_t = None  # cheap to rebuild from data on restore
+            self._state = None   # readers route through ensure_resident
+            return True
+
+    def _restore_device_arrays(self, host: Dict[str, Any]) -> None:
+        """Re-materialize device arrays from host copies (sharded stores override to
+        re-apply their NamedShardings)."""
+        self._data = jnp.asarray(host["data"], self._storage_dtype())
+        self._valid = jnp.asarray(host["valid"])
+        self._sq_norms = jnp.asarray(host["sq_norms"])
+        sdt = self._sweep_dtype()
+        if sdt is not None:
+            self._data_t = jnp.asarray(host["data"].T, sdt)
+
+    def ensure_resident(self) -> bool:
+        """Page an offloaded namespace back into HBM (no-op when resident)."""
+        with self._lock:
+            if self._offloaded is None:
+                return False
+            host = self._offloaded
+            self._restore_device_arrays(host)
+            self._offloaded = None
+            self._publish()
+            return True
 
     def _publish(self) -> None:
         """Swap in a new consistent (data, valid, sq_norms, counters) generation."""
@@ -256,6 +311,8 @@ class NamespaceStore:
         if not vectors:
             return
         with self._lock:
+            if self._offloaded is not None:
+                self.ensure_resident()
             self._ensure_dim(vectors[0].dim)
             for v in vectors:
                 if v.dim != self.dim:
@@ -327,6 +384,8 @@ class NamespaceStore:
         if n == 0:
             return []
         with self._lock:
+            if self._offloaded is not None:
+                self.ensure_resident()
             self._ensure_dim(int(values.shape[1]))
             if ids is None:
                 ids = [uuid_mod.uuid4() for _ in range(n)]
@@ -372,6 +431,8 @@ class NamespaceStore:
         """Tombstone-delete; returns the ids actually removed (reference semantics:
         query_processor.py:51-62 returns only ids present in storage)."""
         with self._lock:
+            if self._offloaded is not None:
+                self.ensure_resident()
             slots, removed = [], []
             for vid in ids:
                 slot = self._id_to_slot.pop(vid, None)
@@ -410,6 +471,8 @@ class NamespaceStore:
     def compact(self) -> None:
         """Repack live rows to the front and shrink capacity.  Per-namespace only."""
         with self._lock:
+            if self._offloaded is not None:
+                self.ensure_resident()
             live = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
             if self._data is not None and live:
                 old_slots = np.asarray([s for _, s in live], np.int32)
@@ -508,6 +571,8 @@ class NamespaceStore:
         """Host-side snapshot for checkpointing (device->host transfer of the padded
         matrix + id table + mask — SURVEY.md §5.4)."""
         with self._lock:
+            if self._offloaded is not None:
+                self.ensure_resident()
             live = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
             slots = np.asarray([s for _, s in live], np.int32)
             if self._data is not None and len(slots):

@@ -175,6 +175,10 @@ class StorageEngine:
             "namespaces": list(self._namespaces.keys()),
             "vectors_per_namespace": per_ns,
             "namespace_count": len(self._namespaces),
+            "offloaded_namespaces": [
+                name for name, ns in self._namespaces.items()
+                if getattr(ns, "offloaded", False)
+            ],
         }
         try:
             import jax
