@@ -22,7 +22,6 @@ metric, groundtruth [Q,k] int64 or None).
 from __future__ import annotations
 
 import os
-import struct
 import sys
 import tarfile
 import urllib.request

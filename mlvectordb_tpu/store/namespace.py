@@ -20,7 +20,6 @@ every other namespace's index — SURVEY.md §3.4 — a bug we deliberately do n
 
 from __future__ import annotations
 
-import functools
 import threading
 import uuid as uuid_mod
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
