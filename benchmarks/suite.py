@@ -155,6 +155,22 @@ def main() -> int:
     mask = np.ones(N, bool)
     mask[::2] = False  # 50% selectivity filter mask
     vmask = jnp.asarray(mask)
+    # recall gate for the MASKED path too: filtered oracle over the surviving rows
+    _, i_hy = backend(q[:16], db, vmask, sq, k=10, metric="cosine", live_prefix=None, ddt=db_t)
+    i_hy = np.asarray(i_hy)
+    qs16 = qs_np[:16]
+    dots = qs16 @ db_np.T
+    cos = dots / np.maximum(
+        np.linalg.norm(qs16, axis=1)[:, None] * np.linalg.norm(db_np, axis=1)[None, :], 1e-30
+    )
+    cos[:, ~mask] = -np.inf
+    i_hyor = np.argpartition(-cos, 10, axis=1)[:, :10]
+    hy_recall = np.mean([
+        len(set(i_hy[b].tolist()) & set(i_hyor[b].tolist())) / 10 for b in range(16)
+    ])
+    log(f"hybrid (masked) recall@10 gate: {hy_recall}")
+    assert hy_recall == 1.0, f"masked-path exactness violated: {hy_recall}"
+    assert bool(mask[np.asarray(i_hy).ravel()].all()), "filtered-out row leaked into results"
     t = device_seconds_per_call(
         lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
                                             live_prefix=None, ddt=ddt),
