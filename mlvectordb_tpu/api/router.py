@@ -238,8 +238,11 @@ class RouterAPI:
     async def search(self, request: web.Request) -> web.Response:
         payload = await request.json()
         ns = request.query.get("namespace", "default")
-        metric = canonical_metric(payload.get("metric", "cosine"))
-        top_k = int(payload.get("top_k", 10))
+        try:
+            metric = canonical_metric(payload.get("metric", "cosine"))
+            top_k = int(payload.get("top_k", 10))
+        except (ValueError, TypeError) as e:
+            return web.json_response({"detail": str(e)}, status=400)
         results = await self._fanout(f"/search?namespace={ns}", payload)
         lists, errors = [], []
         for _b, (status, body) in results:

@@ -111,6 +111,8 @@ class QueryProcessor:
         or the server's --wal flag; save() rotates and prunes covered segments."""
         from .wal import WriteAheadLog
 
+        if self._wal is not None:
+            raise RuntimeError("WAL already enabled for this processor")
         self._wal = WriteAheadLog(path, fsync=fsync)
 
     def _wal_upsert(self, vs: Sequence[Vector], namespace: str) -> None:
