@@ -728,6 +728,7 @@ class RestAPI:
                 payload.get("cluster_capacity"),
                 payload.get("n_iters", 10),
                 payload.get("seed", 0),
+                payload.get("spill", 1),
             )
             return _json({"status": "success", "message": f"IVF built for {ns}", **stats})
         except ValueError as e:

@@ -239,16 +239,19 @@ class QueryProcessor:
         cluster_capacity: Optional[int] = None,
         n_iters: int = 10,
         seed: int = 0,
+        spill: int = 1,
     ) -> Dict[str, Any]:
         """Train and attach an IVF approximate index to a namespace (store/ivf.py).
-        Subsequent searches passing ``nprobe`` use it; exact search stays the default."""
+        Subsequent searches passing ``nprobe`` use it; exact search stays the default.
+        ``spill`` > 1 places each vector in its spill nearest clusters (higher recall
+        at fixed nprobe for spill x index memory)."""
         from ..store.ivf import IVFIndex
 
         with self._write_lock, trace_span("ivf_build", namespace=namespace):
             ns = self.storage.namespace(namespace)
             if ns is None:
                 raise ValueError(f"namespace {namespace!r} does not exist")
-            ns.ivf = IVFIndex(ns, n_clusters, cluster_capacity, n_iters, seed)
+            ns.ivf = IVFIndex(ns, n_clusters, cluster_capacity, n_iters, seed, spill)
             return ns.ivf.stats()
 
     def drop_ivf(self, namespace: str = "default") -> bool:
@@ -285,14 +288,17 @@ class QueryProcessor:
         ivf = getattr(ns, "ivf", None)
         if nprobe is not None and ivf is not None and filter is None:
             k_eff = min(k, ns.live_count)
+            # spilled indexes hold up to `spill` copies per id: over-fetch so k unique
+            # ids survive the hydration dedupe
+            k_fetch = min(k_eff * ivf.spill, ivf.C * ivf.L)
             B = q_np.shape[0]
             Bb = self.config.bucket_batch(B)
             q_pad = np.zeros((Bb, ns.dpad), np.float32)
             q_pad[:B, : ns.dim] = q_np
-            with trace_span("knn_ivf", namespace=namespace, k=k_eff, nprobe=nprobe):
-                dist, idx = ivf.search(jnp.asarray(q_pad), k_eff, metric, nprobe)
+            with trace_span("knn_ivf", namespace=namespace, k=k_fetch, nprobe=nprobe):
+                dist, idx = ivf.search(jnp.asarray(q_pad), k_fetch, metric, nprobe)
             dist, idx = jax.device_get((dist, idx))  # one relay round trip, not two
-            return dist[:B, :k_eff], idx[:B, :k_eff], ns, ivf.slot_to_id
+            return dist[:B, :k_fetch], idx[:B, :k_fetch], ns, ivf.slot_to_id
 
         # Snapshot-read with RCU-style retry.  Write buffers are NOT donated (the store
         # is copy-on-write — see store/namespace.py on why donation is unsafe under the
@@ -419,7 +425,7 @@ class QueryProcessor:
             user = self._to_user_score(dist, m)
             with trace_span("hydrate", namespace=namespace, batch=len(queries)):
                 results = [
-                    self._hydrate_scored(user[i], dist[i], slots[i], ns, resolver)
+                    self._hydrate_scored(user[i], dist[i], slots[i], ns, resolver, limit=top_k)
                     for i in range(len(queries))
                 ]
         kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
@@ -433,7 +439,9 @@ class QueryProcessor:
                 self._result_cache[cache_key] = [[dict(r) for r in rs] for rs in results]
         return results
 
-    def _hydrate_scored(self, user_row, dist_row, slot_row, ns, resolver=None) -> List[Dict[str, Any]]:
+    def _hydrate_scored(
+        self, user_row, dist_row, slot_row, ns, resolver=None, limit: Optional[int] = None
+    ) -> List[Dict[str, Any]]:
         half_masked = float(MASKED) / 2
         out = []
         # Fast path: results carry STORE slots (the exact-search path) and the host
@@ -456,17 +464,23 @@ class QueryProcessor:
                 m = metas[slot]
                 out.append({"id": vid, "values": v, "metadata": dict(m) if m else {}, "score": float(u)})
             return out
+        # Generic path (IVF etc.): dedupe by id — a spilled IVF index can surface
+        # multiple copies of one vector; keep the first (best-ranked) occurrence.
         resolver = resolver or ns.slot_to_id
+        seen = set()
         for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
             if d >= half_masked:
                 continue
             vid = resolver(int(slot))
-            if vid is None:
+            if vid is None or vid in seen:
                 continue
             vec = ns.get(vid)
             if vec is None:
                 continue
+            seen.add(vid)
             out.append({"id": vid, "values": vec.values, "metadata": vec.metadata, "score": float(u)})
+            if limit is not None and len(out) >= limit:
+                break
         return out
 
     def range_search(
@@ -491,7 +505,7 @@ class QueryProcessor:
             self.stats.record("range", (time.perf_counter() - t0) * 1e3)
             return []
         user = self._to_user_score(dist, m)
-        hits = self._hydrate_scored(user[0], dist[0], slots[0], ns, resolver)
+        hits = self._hydrate_scored(user[0], dist[0], slots[0], ns, resolver, limit=limit)
         if HIGHER_IS_BETTER[m]:
             hits = [h for h in hits if h["score"] >= radius]
         else:

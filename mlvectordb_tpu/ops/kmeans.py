@@ -51,6 +51,37 @@ def assign_clusters(data, valid, centroids, *, chunk: int = 65536):
     return assign.reshape(-1)[:N], dist.reshape(-1)[:N]
 
 
+@functools.partial(jax.jit, static_argnames=("m", "chunk"))
+def assign_topm(data, valid, centroids, *, m: int, chunk: int = 65536):
+    """[N, m] int32 ids of the m nearest centroids per row (squared-L2), the
+    multi-assignment ("spilling") primitive for the IVF index.  Invalid rows get -1."""
+    N, D = data.shape
+    cn = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
+    chunk = min(chunk, N)
+    pad = (-N) % chunk
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    nt = data_p.shape[0] // chunk
+
+    def step(_, xs):
+        rows, ok = xs
+        d = (
+            cn[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                rows, centroids.astype(rows.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [chunk, C]; the +|row|^2 term is rank-invariant per row and dropped
+        _, top = jax.lax.top_k(-d, m)
+        return None, jnp.where(ok[:, None], top.astype(jnp.int32), -1)
+
+    _, out = jax.lax.scan(
+        step, None, (data_p.reshape(nt, chunk, D), valid_p.reshape(nt, chunk))
+    )
+    return out.reshape(-1, m)[:N]
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters", "chunk"))
 def update_centroids(data, assign, *, n_clusters: int, chunk: int = 65536):
     """One k-means update step: mean of each cluster's rows via one-hot matmuls.

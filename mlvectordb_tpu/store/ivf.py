@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.distances import MASKED, pairwise_distances
-from ..ops.kmeans import assign_clusters, train_kmeans
+from ..ops.kmeans import assign_topm, train_kmeans
 from ..ops.topk import _fold_tile
 
 
@@ -94,18 +94,26 @@ class IVFIndex:
         cluster_capacity: Optional[int] = None,
         n_iters: int = 10,
         seed: int = 0,
+        spill: int = 1,
     ):
+        """``spill``: place each vector in its ``spill`` nearest clusters (ScaNN-style
+        multi-assignment).  Costs spill x index memory and raises recall at fixed
+        nprobe — a boundary vector no longer vanishes when the probe set misses its
+        single home cluster.  Search may then surface duplicate copies; the engine
+        deduplicates by id during hydration."""
         self.store = store
         n = store.live_count
         if n < 2:
             raise ValueError("IVF needs at least 2 live vectors")
+        self.spill = max(1, min(int(spill), 4))
         self._user_C = n_clusters
         self._user_L = cluster_capacity
         self._size(n)
         self.Dp = store.dpad
 
         self._slot_ids: List[Optional[uuid_mod.UUID]] = [None] * (self.C * self.L)
-        self._id_to_slot: Dict[uuid_mod.UUID, int] = {}
+        self._id_to_slot: Dict[uuid_mod.UUID, int] = {}        # primary copy
+        self._extra_slots: Dict[uuid_mod.UUID, List[int]] = {}  # spill copies (spill > 1)
         self._free_per_cluster: List[int] = [0] * self.C  # next free local index
         self._n_iters = n_iters
         self._seed = seed
@@ -122,12 +130,15 @@ class IVFIndex:
     def _build(self, n_iters: int, seed: int) -> None:
         store = self.store
         state = store.device_state()
-        self.centroids, assign = train_kmeans(
+        self.centroids, _assign = train_kmeans(
             state.data, state.valid, self.C, n_iters=n_iters, seed=seed
         )
         self.cnorms = jnp.sum(self.centroids * self.centroids, axis=-1)
-        assign_np = np.asarray(jax.device_get(assign))
-        # order clusters by preference per row: nearest first, fall back on overflow
+        # top-spill assignment per row: copy 0 is the primary home, copies 1..spill-1
+        # are the ScaNN-style spilled placements
+        topm = np.asarray(jax.device_get(
+            assign_topm(state.data, state.valid, self.centroids, m=self.spill)
+        ))
         data_np = np.asarray(jax.device_get(state.data), np.float32)
         sq_np = np.asarray(jax.device_get(state.sq_norms), np.float32)
 
@@ -138,13 +149,19 @@ class IVFIndex:
 
         overflow: List[Tuple[int, uuid_mod.UUID]] = []
         for vid, slot in self.store._id_to_slot.items():
-            c = int(assign_np[slot])
+            c = int(topm[slot, 0])
             if c < 0:
                 continue
             if self._free_per_cluster[c] < self.L:
                 self._place(buf, vbuf, sbuf, c, slot, vid, data_np, sq_np)
             else:
                 overflow.append((slot, vid))
+            # spill copies: best-effort (skipped when the target cluster is full —
+            # the primary copy already guarantees full-probe exactness)
+            for j in range(1, self.spill):
+                cj = int(topm[slot, j])
+                if cj >= 0 and self._free_per_cluster[cj] < self.L:
+                    self._place(buf, vbuf, sbuf, cj, slot, vid, data_np, sq_np, extra=True)
         for slot, vid in overflow:
             # nearest cluster with space
             d = ((cent_np - data_np[slot][None, :]) ** 2).sum(-1)
@@ -161,7 +178,7 @@ class IVFIndex:
         self._dev = (jnp.asarray(buf, dtype), jnp.asarray(vbuf), jnp.asarray(sbuf))
         self.store_version = store.version
 
-    def _place(self, buf, vbuf, sbuf, c, store_slot, vid, data_np, sq_np):
+    def _place(self, buf, vbuf, sbuf, c, store_slot, vid, data_np, sq_np, extra=False):
         i = self._free_per_cluster[c]
         buf[c, i] = data_np[store_slot]
         vbuf[c, i] = True
@@ -169,7 +186,10 @@ class IVFIndex:
         self._free_per_cluster[c] = i + 1
         ivf_slot = c * self.L + i
         self._slot_ids[ivf_slot] = vid
-        self._id_to_slot[vid] = ivf_slot
+        if extra:
+            self._extra_slots.setdefault(vid, []).append(ivf_slot)
+        else:
+            self._id_to_slot[vid] = ivf_slot
 
     # ------------------------------------------------------------------ maintenance
 
@@ -180,21 +200,29 @@ class IVFIndex:
         vals = np.zeros((len(vectors), self.Dp), np.float32)
         for i, v in enumerate(vectors):
             vals[i, : v.values.shape[0]] = v.values
-        assign, _ = assign_clusters(
-            jnp.asarray(vals), jnp.ones((len(vectors),), jnp.bool_), self.centroids
-        )
-        assign_np = np.asarray(jax.device_get(assign))
+        topm = np.asarray(jax.device_get(assign_topm(
+            jnp.asarray(vals), jnp.ones((len(vectors),), jnp.bool_), self.centroids,
+            m=self.spill,
+        )))
         cent_np = np.asarray(jax.device_get(self.centroids))
 
         slots, rows = [], []
+
+        def emit(slot, i):
+            slots.append(slot)
+            rows.append(vals[i])
+
         for i, v in enumerate(vectors):
             old = self._id_to_slot.get(v.id)
             if old is not None:
-                slot = old  # overwrite in place; count as drift if now mis-clustered
-                if old // self.L != int(assign_np[i]):
+                # overwrite EVERY copy in place; count drift if now mis-clustered
+                if old // self.L != int(topm[i, 0]):
                     self._drift += 1
+                emit(old, i)
+                for es in self._extra_slots.get(v.id, ()):
+                    emit(es, i)
             else:
-                c = int(assign_np[i])
+                c = int(topm[i, 0])
                 if self._free_per_cluster[c] >= self.L:
                     d = ((cent_np - vals[i][None, :]) ** 2).sum(-1)
                     for cc in np.argsort(d):
@@ -208,8 +236,15 @@ class IVFIndex:
                 self._free_per_cluster[c] += 1
                 self._slot_ids[slot] = v.id
                 self._id_to_slot[v.id] = slot
-            slots.append(slot)
-            rows.append(vals[i])
+                emit(slot, i)
+                for j in range(1, self.spill):  # spill copies, best-effort
+                    cj = int(topm[i, j])
+                    if cj >= 0 and self._free_per_cluster[cj] < self.L:
+                        es = cj * self.L + self._free_per_cluster[cj]
+                        self._free_per_cluster[cj] += 1
+                        self._slot_ids[es] = v.id
+                        self._extra_slots.setdefault(v.id, []).append(es)
+                        emit(es, i)
 
         slots_np = np.asarray(slots, np.int64)
         c_idx = jnp.asarray(slots_np // self.L)
@@ -235,9 +270,10 @@ class IVFIndex:
             self.retrain()
 
     def _size(self, n: int) -> None:
-        """(Re)derive cluster count/capacity for an n-row corpus; user-pinned values win."""
+        """(Re)derive cluster count/capacity for an n-row corpus; user-pinned values
+        win.  Capacity budgets ``spill`` copies of every row."""
         self.C = self._user_C or max(2, min(4096, int(np.sqrt(n) * 2)))
-        avg = max(1, -(-n // self.C))
+        avg = max(1, -(-(n * self.spill) // self.C))
         L = self._user_L or max(64, int(avg * 2.2))
         self.L = -(-L // 8) * 8
 
@@ -247,6 +283,7 @@ class IVFIndex:
         self._size(max(2, self.store.live_count))
         self._slot_ids = [None] * (self.C * self.L)
         self._id_to_slot = {}
+        self._extra_slots = {}
         self._free_per_cluster = [0] * self.C
         self._drift = 0
         self._build(self._n_iters, self._seed)
@@ -258,6 +295,9 @@ class IVFIndex:
             if slot is not None:
                 self._slot_ids[slot] = None
                 slots.append(slot)
+                for es in self._extra_slots.pop(vid, ()):  # clear spill copies too
+                    self._slot_ids[es] = None
+                    slots.append(es)
         if slots:
             s = np.asarray(slots, np.int64)
             data3, valid3, sqn3 = self._dev
@@ -307,6 +347,8 @@ class IVFIndex:
             "clusters": self.C,
             "cluster_capacity": self.L,
             "live": live,
+            "spill": self.spill,
+            "copies": live + sum(len(v) for v in self._extra_slots.values()),
             "fill_mean": float(fills.mean()),
             "fill_max": int(fills.max()),
             "drift": self._drift,
@@ -322,17 +364,25 @@ class IVFIndex:
         store rows at load time, keeping snapshots at ~1x corpus size instead of 2x
         while round-tripping the exact same layout (hence identical search results,
         VERDICT r1 missing #3)."""
+        # primaries serialized BEFORE spill copies so from_snapshot's first-occurrence
+        # rule reconstructs the same primary/extra split
+        primaries = sorted(self._id_to_slot.items(), key=lambda kv: kv[1])
+        extras = [
+            (vid, s) for vid, ss in self._extra_slots.items() for s in ss
+        ]
+        ordered = [(s, vid) for vid, s in primaries] + [(s, vid) for vid, s in extras]
         return {
             "C": self.C,
             "L": self.L,
+            "spill": self.spill,
             "drift": self._drift,
             "n_iters": self._n_iters,
             "seed": self._seed,
             "user_C": self._user_C,
             "user_L": self._user_L,
             "centroids": np.asarray(jax.device_get(self.centroids), np.float32),
-            "slots": [i for i, vid in enumerate(self._slot_ids) if vid is not None],
-            "ids": [str(vid) for vid in self._slot_ids if vid is not None],
+            "slots": [s for s, _vid in ordered],
+            "ids": [str(vid) for _s, vid in ordered],
         }
 
     @classmethod
@@ -345,6 +395,7 @@ class IVFIndex:
         ivf.C = int(snap["C"])
         ivf.L = int(snap["L"])
         ivf.Dp = store.dpad
+        ivf.spill = int(snap.get("spill", 1))
         ivf._user_C = snap.get("user_C")
         ivf._user_L = snap.get("user_L")
         ivf._n_iters = int(snap.get("n_iters", 10))
@@ -355,6 +406,7 @@ class IVFIndex:
 
         ivf._slot_ids = [None] * (ivf.C * ivf.L)
         ivf._id_to_slot = {}
+        ivf._extra_slots = {}
         ivf._free_per_cluster = [0] * ivf.C
         state = store.device_state()
         data_np = np.asarray(jax.device_get(state.data), np.float32)
@@ -372,7 +424,10 @@ class IVFIndex:
             vbuf[c, i] = True
             sbuf[c, i] = sq_np[store_slot]
             ivf._slot_ids[int(ivf_slot)] = vid
-            ivf._id_to_slot[vid] = int(ivf_slot)
+            if vid in ivf._id_to_slot:  # later occurrences are spill copies
+                ivf._extra_slots.setdefault(vid, []).append(int(ivf_slot))
+            else:
+                ivf._id_to_slot[vid] = int(ivf_slot)
             ivf._free_per_cluster[c] = max(ivf._free_per_cluster[c], i + 1)
         ivf._dev = (jnp.asarray(buf, state.data.dtype), jnp.asarray(vbuf), jnp.asarray(sbuf))
         ivf.store_version = store.version

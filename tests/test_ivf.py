@@ -256,3 +256,83 @@ def test_drift_counts_deletes_and_stats_expose_ratio(ivf_qp):
     s = ivf.stats()
     assert s["drift"] >= 2 or s["drift"] == 0  # 0 iff the delete crossed the retrain bar
     assert "drift_ratio" in s
+
+
+# ------------------------------------------------------------------------- spill
+
+
+def test_spill_improves_recall_at_fixed_nprobe(small_config, rng):
+    """ScaNN-style multi-assignment: spill=2 must beat spill=1 recall at nprobe=1
+    on boundary-heavy clustered data (each vector lives in its 2 nearest clusters)."""
+    rows, centers = clustered_data(rng, n_clusters=8, per=40, dim=16, spread=0.8)
+    queries = rows[rng.integers(0, len(rows), 24)] + 0.05 * rng.standard_normal((24, 16)).astype(np.float32)
+    d = ((rows[None, :, :] - queries[:, None, :]) ** 2).sum(-1)
+    true5 = [set(np.argsort(d[i])[:5].tolist()) for i in range(24)]
+
+    recalls = {}
+    for spill in (1, 2):
+        qp = QueryProcessor(config=small_config)
+        qp.upsert_many([dto(r, {"i": i}) for i, r in enumerate(rows)], "ns")
+        ns = qp.storage.namespace("ns")
+        qp.build_ivf("ns", n_clusters=8, n_iters=10, seed=0, spill=spill)
+        hits = 0
+        for i, q in enumerate(queries):
+            got = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="l2", nprobe=1)
+            got_rows = {ns._id_to_slot[r["id"]] for r in got}
+            hits += len(got_rows & true5[i])
+        recalls[spill] = hits / (24 * 5)
+    assert recalls[2] >= recalls[1], recalls
+    assert recalls[2] > 0.8, recalls
+
+
+def test_spill_no_duplicate_ids_and_k_respected(small_config, rng):
+    rows, _ = clustered_data(rng, n_clusters=8, per=40, dim=16)
+    qp = QueryProcessor(config=small_config)
+    vs = qp.upsert_many([dto(r) for r in rows], "ns")
+    stats = qp.build_ivf("ns", n_clusters=8, spill=2)
+    assert stats["spill"] == 2 and stats["copies"] > stats["live"]
+    for nprobe in (2, 8):
+        got = qp.find_similar(dto(rows[7]), top_k=10, namespace="ns", metric="l2", nprobe=nprobe)
+        ids = [r["id"] for r in got]
+        assert len(ids) == len(set(ids)) == 10
+    # full probe still matches exact search despite duplicate copies
+    exact = qp.find_similar(dto(rows[7]), top_k=10, namespace="ns", metric="l2")
+    approx = qp.find_similar(dto(rows[7]), top_k=10, namespace="ns", metric="l2", nprobe=8)
+    assert [r["id"] for r in exact] == [r["id"] for r in approx]
+
+
+def test_spill_tracks_mutations_and_snapshots(small_config, rng, tmp_path):
+    rows, _ = clustered_data(rng, n_clusters=8, per=30, dim=16)
+    qp = QueryProcessor(config=small_config)
+    vs = qp.upsert_many([dto(r) for r in rows], "ns")
+    qp.build_ivf("ns", n_clusters=8, spill=2)
+    ivf = qp.storage.namespace("ns").ivf
+
+    # incremental add places spill copies too
+    nv = qp.insert(dto(rows[3] + 0.01), "ns")
+    assert nv.id in ivf._id_to_slot
+    # overwrite updates every copy (search for the NEW value finds it first)
+    moved = rows[100] + 0.02
+    qp.upsert_many([dto(moved, None, vs[5].id)], "ns")
+    got = qp.find_similar(dto(moved), top_k=1, namespace="ns", metric="l2", nprobe=8)
+    assert got[0]["id"] == vs[5].id and got[0]["score"] < 1e-3
+
+    # delete clears every copy: the id never resurfaces
+    qp.delete([vs[5].id], "ns")
+    got = qp.find_similar(dto(moved), top_k=10, namespace="ns", metric="l2", nprobe=8)
+    assert all(r["id"] != vs[5].id for r in got)
+    assert vs[5].id not in ivf._extra_slots
+
+    # snapshot round-trips the spilled layout identically
+    qp.save(str(tmp_path / "snap"))
+    qp2 = QueryProcessor.load(str(tmp_path / "snap"), small_config)
+    ivf2 = qp2.storage.namespace("ns").ivf
+    assert ivf2.spill == 2
+    assert ivf2._id_to_slot == ivf._id_to_slot
+    assert {k: sorted(v) for k, v in ivf2._extra_slots.items()} == {
+        k: sorted(v) for k, v in ivf._extra_slots.items()
+    }
+    q = rows[20]
+    a = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="l2", nprobe=2)
+    b = qp2.find_similar(dto(q), top_k=5, namespace="ns", metric="l2", nprobe=2)
+    assert [r["id"] for r in a] == [r["id"] for r in b]
