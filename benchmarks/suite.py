@@ -148,6 +148,23 @@ def main() -> int:
          dataset=ds["name"], n=ivf_n)
     # the gate: on clustered data modest probing must recover most true neighbours
     assert curve[16] >= 0.9, f"IVF recall collapsed on clustered data: {curve}"
+    # spilled variant: each vector in its 2 nearest clusters (recall at fixed nprobe)
+    qp_ivf.build_ivf("ivf", n_clusters=min(1024, ivf_n // 64), spill=2)
+    ns_ivf2 = qp_ivf.storage.namespace("ivf")
+    curve2 = {}
+    for nprobe in (1, 2, 4, 8, 16):
+        got = qp_ivf.find_similar_batch(
+            [VectorDTO(row) for row in qs_np[:32]], 10, "ivf", "l2", nprobe=nprobe
+        )
+        hits = sum(
+            len({ns_ivf2._id_to_slot[r["id"]] for r in rs} & true10[i])
+            for i, rs in enumerate(got)
+        )
+        curve2[nprobe] = hits / (32 * 10)
+        log(f"IVF spill=2 recall@10 nprobe={nprobe}: {curve2[nprobe]:.3f}")
+    emit("ivf_spill2_recall_at_10_vs_nprobe", curve2[4], "recall",
+         curve={str(k2): round(v, 4) for k2, v in curve2.items()},
+         dataset=ds["name"], n=ivf_n)
     del qp_ivf
 
     # ---------------- GloVe shape: cosine + metadata filter (config #3) -------------

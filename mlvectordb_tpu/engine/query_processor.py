@@ -251,13 +251,21 @@ class QueryProcessor:
             ns = self.storage.namespace(namespace)
             if ns is None:
                 raise ValueError(f"namespace {namespace!r} does not exist")
-            ns.ivf = IVFIndex(ns, n_clusters, cluster_capacity, n_iters, seed, spill)
+            with ns._lock:
+                ns.ivf = IVFIndex(ns, n_clusters, cluster_capacity, n_iters, seed, spill)
+                # (re)building the index changes what nprobe searches return: bump the
+                # version so result-cache entries from the OLD index can't be served
+                # (found by the suite: a spill=2 rebuild returned the spill=1 curve
+                # verbatim from cache)
+                ns.version += 1
             return ns.ivf.stats()
 
     def drop_ivf(self, namespace: str = "default") -> bool:
         ns = self.storage.namespace(namespace)
         if ns is not None and getattr(ns, "ivf", None) is not None:
-            ns.ivf = None
+            with ns._lock:
+                ns.ivf = None
+                ns.version += 1  # nprobe searches now fall back to exact: invalidate
             return True
         return False
 

@@ -336,3 +336,25 @@ def test_spill_tracks_mutations_and_snapshots(small_config, rng, tmp_path):
     a = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="l2", nprobe=2)
     b = qp2.find_similar(dto(q), top_k=5, namespace="ns", metric="l2", nprobe=2)
     assert [r["id"] for r in a] == [r["id"] for r in b]
+
+
+def test_ivf_rebuild_invalidates_result_cache(ivf_qp, rng):
+    """(Re)building or dropping the index changes what nprobe searches return — the
+    result cache must not serve the old index's results (found by the suite when a
+    spill=2 rebuild returned the spill=1 curve verbatim)."""
+    qp, vs, rows = ivf_qp
+    q = dto(rows[11] + 0.01)
+    first = qp.find_similar(q, top_k=3, namespace="ns", metric="l2", nprobe=1)
+    ns = qp.storage.namespace("ns")
+    v_before = ns.version
+    qp.build_ivf("ns", n_clusters=8, n_iters=10, seed=3, spill=2)
+    assert ns.version > v_before
+    second = qp.find_similar(q, top_k=3, namespace="ns", metric="l2", nprobe=1)
+    assert second  # recomputed against the new index, not a stale hit
+    v_mid = ns.version
+    qp.drop_ivf("ns")
+    assert ns.version > v_mid
+    exact = qp.find_similar(q, top_k=3, namespace="ns", metric="l2", nprobe=1)
+    assert [r["id"] for r in exact] == [
+        r["id"] for r in qp.find_similar(q, top_k=3, namespace="ns", metric="l2")
+    ]
