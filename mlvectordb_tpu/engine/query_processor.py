@@ -657,19 +657,27 @@ class QueryProcessor:
 
     # ------------------------------------------------------------------ persistence
 
-    def save(self, path: str) -> None:
+    def _save_snapshot(self, path: str) -> List[str]:
+        """Rotate the WAL (if enabled) under the write lock so every record the
+        snapshot will cover is in a sealed segment, then write the snapshot.  Returns
+        the sealed segments — the CALLER prunes them only once the snapshot sits in
+        its final, recovery-visible location (the auto-snapshot loop writes to a temp
+        dir first; pruning before its atomic rename would lose the delta on a crash
+        in between).  Writes landing in the fresh segment during the snapshot replay
+        idempotently."""
         from .persist import save_storage
 
-        # WAL discipline: rotate under the write lock so every record the snapshot
-        # will cover is in a sealed segment, snapshot, then prune the sealed segments.
-        # Writes landing in the fresh segment during the snapshot replay idempotently.
+        sealed: List[str] = []
         if self._wal is not None:
             with self._write_lock:
                 sealed = self._wal.rotate()
-            save_storage(self.storage, path)
+        save_storage(self.storage, path)
+        return sealed
+
+    def save(self, path: str) -> None:
+        sealed = self._save_snapshot(path)
+        if self._wal is not None:
             self._wal.prune(sealed)
-        else:
-            save_storage(self.storage, path)
 
     @classmethod
     def load(
@@ -764,13 +772,17 @@ class QueryProcessor:
                         continue
                     tmp = path + ".tmp"
                     shutil.rmtree(tmp, ignore_errors=True)
-                    self.save(tmp)
+                    sealed = self._save_snapshot(tmp)
                     old = path + ".old"
                     shutil.rmtree(old, ignore_errors=True)
                     if os.path.isdir(path):
                         os.rename(path, old)
                     os.rename(tmp, path)
                     shutil.rmtree(old, ignore_errors=True)
+                    # only now is the snapshot recovery-visible: safe to drop the
+                    # WAL segments it covers
+                    if self._wal is not None:
+                        self._wal.prune(sealed)
                     last = cur
                     self.stats.record("auto_snapshot", 0.0)
                 except Exception:  # pragma: no cover - keep checkpointing alive

@@ -122,3 +122,21 @@ def test_wal_search_results_survive_recovery(tmp_path, small_config, rng, oracle
     assert [r["id"] for r in before] == [r["id"] for r in after]
     for b, a in zip(before, after):
         assert a["score"] == pytest.approx(b["score"], rel=1e-6)
+
+
+def test_prune_deferred_until_snapshot_is_final(tmp_path, small_config, rng):
+    """_save_snapshot must NOT prune: a crash between writing a temp snapshot and its
+    atomic rename would otherwise lose every record since the previous snapshot."""
+    wal_dir = str(tmp_path / "wal")
+    qp = QueryProcessor(config=small_config)
+    qp.enable_wal(wal_dir)
+    vs = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(8)], "ns")
+
+    sealed = qp._save_snapshot(str(tmp_path / "snap.tmp"))
+    assert sealed and all(os.path.exists(s) for s in sealed)  # still replayable
+    # crash HERE (before the rename): recovery from the OLD state + WAL sees everything
+    qp2 = QueryProcessor.load(str(tmp_path / "missing"), small_config, wal_path=wal_dir)
+    assert qp2.get_namespace_count("ns") == 8
+
+    qp._wal.prune(sealed)  # what the caller does after the rename
+    assert not any(os.path.exists(s) for s in sealed)
