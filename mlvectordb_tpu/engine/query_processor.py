@@ -282,11 +282,12 @@ class QueryProcessor:
     ):
         """Returns (dist [B, k'] np, slots [B, k'] np, ns_store, resolver) with
         k' = min(k, live); resolver maps result slots to uuids (store slots by default,
-        IVF slots when the approximate path ran).
-        Empty namespace / k<=0 -> (None, None, None, None)."""
+        IVF slots when the approximate path ran); tables is the snapshot's host slot
+        tables (one generation, for torn-free fast hydration) or None.
+        Empty namespace / k<=0 -> (None, None, None, None, None)."""
         ns = self.storage.namespace(namespace)
         if ns is None or ns.live_count == 0 or k <= 0:
-            return None, None, None, None
+            return None, None, None, None, None
         if q_np.shape[1] != ns.dim:
             raise ValueError(
                 f"query dim {q_np.shape[1]} != namespace {namespace!r} dim {ns.dim}"
@@ -304,9 +305,13 @@ class QueryProcessor:
             q_pad = np.zeros((Bb, ns.dpad), np.float32)
             q_pad[:B, : ns.dim] = q_np
             with trace_span("knn_ivf", namespace=namespace, k=k_fetch, nprobe=nprobe):
-                dist, idx = ivf.search(jnp.asarray(q_pad), k_fetch, metric, nprobe)
+                # resolver is bound to the generation that produced the slots: a
+                # concurrent retrain cannot resolve old-layout slots in the new table
+                dist, idx, resolve = ivf.search_resolved(
+                    jnp.asarray(q_pad), k_fetch, metric, nprobe
+                )
             dist, idx = jax.device_get((dist, idx))  # one relay round trip, not two
-            return dist[:B, :k_fetch], idx[:B, :k_fetch], ns, ivf.slot_to_id
+            return dist[:B, :k_fetch], idx[:B, :k_fetch], ns, resolve, None
 
         # Snapshot-read with RCU-style retry.  Write buffers are NOT donated (the store
         # is copy-on-write — see store/namespace.py on why donation is unsafe under the
@@ -346,7 +351,7 @@ class QueryProcessor:
         if k_eff <= 0:
             B = q_np.shape[0]
             empty = np.zeros((B, 0))
-            return empty, empty.astype(np.int32), ns, None  # None resolver = store slots (fast hydration)
+            return empty, empty.astype(np.int32), ns, None, state.host_tables
         kb = min(self.config.bucket_k(k_eff), state.valid.shape[0])
         B = q_np.shape[0]
         Bb = self.config.bucket_batch(B)
@@ -377,7 +382,10 @@ class QueryProcessor:
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately
         # doubles the engine's per-batch latency for no reason
         dist, idx = jax.device_get((dist, idx))
-        return dist[:B, :k_eff], idx[:B, :k_eff], ns, None  # None resolver = store slots (fast hydration)
+        # None resolver = store slots; host_tables = the SNAPSHOT's generation of the
+        # id/meta/value lists, so hydration can never mix generations with a racing
+        # compaction (ADVICE r2)
+        return dist[:B, :k_eff], idx[:B, :k_eff], ns, None, state.host_tables
 
     def _to_user_score(self, dist: np.ndarray, metric: str) -> np.ndarray:
         # reference convention (index.py:121-128): cosine -> 1 - dist; else raw distance
@@ -424,7 +432,7 @@ class QueryProcessor:
                 # poison later cache reads
                 return [[dict(r) for r in rs] for rs in hit]
 
-        dist, slots, ns, resolver = self._raw_search(
+        dist, slots, ns, resolver, tables = self._raw_search(
             q_np, namespace, top_k, m, filter, nprobe
         )
         if ns is None:
@@ -433,7 +441,9 @@ class QueryProcessor:
             user = self._to_user_score(dist, m)
             with trace_span("hydrate", namespace=namespace, batch=len(queries)):
                 results = [
-                    self._hydrate_scored(user[i], dist[i], slots[i], ns, resolver, limit=top_k)
+                    self._hydrate_scored(
+                        user[i], dist[i], slots[i], ns, resolver, limit=top_k, tables=tables
+                    )
                     for i in range(len(queries))
                 ]
         kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
@@ -448,17 +458,21 @@ class QueryProcessor:
         return results
 
     def _hydrate_scored(
-        self, user_row, dist_row, slot_row, ns, resolver=None, limit: Optional[int] = None
+        self, user_row, dist_row, slot_row, ns, resolver=None,
+        limit: Optional[int] = None, tables=None,
     ) -> List[Dict[str, Any]]:
         half_masked = float(MASKED) / 2
         out = []
         # Fast path: results carry STORE slots (the exact-search path) and the host
         # mirror is on — read the slot tables directly instead of resolving
         # slot->uuid->Vector per hit (a Vector construction costs ~5 us; a hot batch
-        # hydrates thousands).  Metadata dicts are copied (Vector did too); values
-        # intentionally alias the host mirror, same as the Vector path.
-        if resolver is None and ns.host_mirror:
-            ids, metas, vals = ns._slot_ids, ns._slot_meta, ns._slot_values
+        # hydrates thousands).  ``tables`` is the search snapshot's generation of the
+        # three lists (DeviceState.host_tables): one atomic capture, so a compaction
+        # racing this loop cannot pair one generation's ids with another's values.
+        # Metadata dicts are copied (Vector did too); values intentionally alias the
+        # host mirror, same as the Vector path.
+        if resolver is None and tables is not None:
+            ids, metas, vals = tables
             n_slots = len(ids)
             for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
                 if d >= half_masked or not 0 <= slot < n_slots:
@@ -508,12 +522,14 @@ class QueryProcessor:
         t0 = time.perf_counter()
         m = canonical_metric(metric or self.config.default_metric)
         q_np = np.asarray(query.values, np.float32).reshape(1, -1)
-        dist, slots, ns, resolver = self._raw_search(q_np, namespace, limit, m, filter)
+        dist, slots, ns, resolver, tables = self._raw_search(q_np, namespace, limit, m, filter)
         if ns is None:
             self.stats.record("range", (time.perf_counter() - t0) * 1e3)
             return []
         user = self._to_user_score(dist, m)
-        hits = self._hydrate_scored(user[0], dist[0], slots[0], ns, resolver, limit=limit)
+        hits = self._hydrate_scored(
+            user[0], dist[0], slots[0], ns, resolver, limit=limit, tables=tables
+        )
         if HIGHER_IS_BETTER[m]:
             hits = [h for h in hits if h["score"] >= radius]
         else:

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import functools
 import uuid as uuid_mod
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,35 @@ import numpy as np
 from ..ops.distances import MASKED, pairwise_distances
 from ..ops.kmeans import assign_topm, train_kmeans
 from ..ops.topk import _fold_tile
+
+
+class _IVFGen(NamedTuple):
+    """One immutable-per-retrain generation of the index, published atomically.
+
+    Lock-free searches read ``IVFIndex._gen`` ONCE and derive everything (probe
+    geometry, cluster arrays, slot->id resolution) from that single read, so a
+    concurrent retrain — which replaces the whole tuple — can never hand a reader
+    new centroids with old cluster arrays or a relaid-out slot table (ADVICE r2
+    medium: the previous in-place rebuild could return wrong/empty ids).
+
+    ``slot_ids`` is the live mutable list shared with incremental add/delete;
+    in-place entry updates are safe for stale readers (a slot newly assigned by a
+    writer is invalid in the reader's ``valid3`` generation, so it never surfaces;
+    a deleted slot resolves to None and is dropped).  Only retrain replaces the
+    list wholesale — and it does so inside a fresh generation tuple."""
+
+    centroids: jax.Array
+    cnorms: jax.Array
+    data3: jax.Array
+    valid3: jax.Array
+    sqn3: jax.Array
+    slot_ids: List[Optional[uuid_mod.UUID]]
+    C: int
+    L: int
+
+    def resolver(self) -> Callable[[int], Optional[uuid_mod.UUID]]:
+        ids, n = self.slot_ids, self.C * self.L
+        return lambda slot: ids[slot] if 0 <= slot < n else None
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe"))
@@ -174,8 +203,13 @@ class IVFIndex:
 
         dtype = state.data.dtype
         # single atomic publish (mirrors NamespaceStore._publish): readers take the
-        # whole (data3, valid3, sqn3) generation in one attribute read, never a torn mix
-        self._dev = (jnp.asarray(buf, dtype), jnp.asarray(vbuf), jnp.asarray(sbuf))
+        # whole generation — centroids AND cluster arrays AND slot table — in one
+        # attribute read, never a torn mix
+        self._gen = _IVFGen(
+            self.centroids, self.cnorms,
+            jnp.asarray(buf, dtype), jnp.asarray(vbuf), jnp.asarray(sbuf),
+            self._slot_ids, self.C, self.L,
+        )
         self.store_version = store.version
 
     def _place(self, buf, vbuf, sbuf, c, store_slot, vid, data_np, sq_np, extra=False):
@@ -250,13 +284,13 @@ class IVFIndex:
         c_idx = jnp.asarray(slots_np // self.L)
         l_idx = jnp.asarray(slots_np % self.L)
         rows_np = np.stack(rows)
-        data3, valid3, sqn3 = self._dev  # one generation in, one generation out
-        data3 = data3.at[(c_idx, l_idx)].set(jnp.asarray(rows_np, data3.dtype))
-        sqn3 = sqn3.at[(c_idx, l_idx)].set(
+        g = self._gen  # one generation in, one generation out
+        data3 = g.data3.at[(c_idx, l_idx)].set(jnp.asarray(rows_np, g.data3.dtype))
+        sqn3 = g.sqn3.at[(c_idx, l_idx)].set(
             jnp.asarray((rows_np.astype(np.float64) ** 2).sum(-1).astype(np.float32))
         )
-        valid3 = valid3.at[(c_idx, l_idx)].set(True)
-        self._dev = (data3, valid3, sqn3)  # atomic swap
+        valid3 = g.valid3.at[(c_idx, l_idx)].set(True)
+        self._gen = g._replace(data3=data3, valid3=valid3, sqn3=sqn3)  # atomic swap
         self.store_version = self.store.version
         self._maybe_retrain()
 
@@ -279,14 +313,26 @@ class IVFIndex:
 
     def retrain(self) -> None:
         """Full re-cluster from the current store state; resets drift to zero.
-        Re-derives (C, L) so a corpus that outgrew the original layout still fits."""
-        self._size(max(2, self.store.live_count))
-        self._slot_ids = [None] * (self.C * self.L)
-        self._id_to_slot = {}
-        self._extra_slots = {}
-        self._free_per_cluster = [0] * self.C
-        self._drift = 0
-        self._build(self._n_iters, self._seed)
+        Re-derives (C, L) so a corpus that outgrew the original layout still fits.
+
+        Built entirely OFF TO THE SIDE as a fresh index, then published in two
+        atomic steps: the owning store's ``ivf`` attribute is swapped (with a
+        version bump so result caches drop the old index's answers) and this
+        handle adopts the fresh state wholesale.  Lock-free readers that captured
+        a generation before the swap keep probing one consistent old layout;
+        they can never mix new centroids with old cluster arrays (ADVICE r2)."""
+        fresh = IVFIndex(
+            self.store, self._user_C, self._user_L, self._n_iters, self._seed, self.spill
+        )
+        store = self.store
+        with store._lock:
+            if getattr(store, "ivf", None) is self:
+                store.ivf = fresh
+                store.version += 1  # nprobe answers changed: invalidate result caches
+        # converge stale direct handles (callers holding `self` across the retrain);
+        # readers are immune to this per-attribute update because every search reads
+        # only the single _gen tuple
+        self.__dict__.update(fresh.__dict__)
 
     def delete(self, ids: Sequence[uuid_mod.UUID]) -> None:
         slots = []
@@ -300,9 +346,9 @@ class IVFIndex:
                     slots.append(es)
         if slots:
             s = np.asarray(slots, np.int64)
-            data3, valid3, sqn3 = self._dev
-            valid3 = valid3.at[(jnp.asarray(s // self.L), jnp.asarray(s % self.L))].set(False)
-            self._dev = (data3, valid3, sqn3)  # atomic swap
+            g = self._gen
+            valid3 = g.valid3.at[(jnp.asarray(s // self.L), jnp.asarray(s % self.L))].set(False)
+            self._gen = g._replace(valid3=valid3)  # atomic swap
             self._drift += len(slots)  # dead rows shrink effective cluster capacity
         self.store_version = self.store.version
         self._maybe_retrain()
@@ -311,30 +357,36 @@ class IVFIndex:
 
     def search(self, q: jax.Array, k: int, metric: str, nprobe: int):
         """(dist [B, k], ivf_slot [B, k]); nprobe clamps to C (full probe = exact)."""
-        nprobe = max(1, min(nprobe, self.C))
-        data3, valid3, sqn3 = self._dev  # one atomic generation read
-        return _ivf_search(
-            q, self.centroids, self.cnorms, data3, valid3, sqn3,
-            k=min(k, self.C * self.L), metric=metric, nprobe=nprobe,
+        d, i, _resolve = self.search_resolved(q, k, metric, nprobe)
+        return d, i
+
+    def search_resolved(self, q: jax.Array, k: int, metric: str, nprobe: int):
+        """(dist, ivf_slot, resolver) with the resolver bound to the SAME generation
+        that produced the slots — a retrain landing between search and hydration can
+        then never resolve old-layout slots against the new slot table."""
+        g = self._gen  # ONE atomic generation read; everything below derives from it
+        nprobe = max(1, min(nprobe, g.C))
+        d, i = _ivf_search(
+            q, g.centroids, g.cnorms, g.data3, g.valid3, g.sqn3,
+            k=min(k, g.C * g.L), metric=metric, nprobe=nprobe,
         )
+        return d, i, g.resolver()
 
     # read-only views of the current published generation (stats, tests)
     @property
     def data3(self):
-        return self._dev[0]
+        return self._gen.data3
 
     @property
     def valid3(self):
-        return self._dev[1]
+        return self._gen.valid3
 
     @property
     def sqn3(self):
-        return self._dev[2]
+        return self._gen.sqn3
 
     def slot_to_id(self, slot: int) -> Optional[uuid_mod.UUID]:
-        if 0 <= slot < len(self._slot_ids):
-            return self._slot_ids[slot]
-        return None
+        return self._gen.resolver()(int(slot))
 
     @property
     def live_count(self) -> int:
@@ -429,6 +481,10 @@ class IVFIndex:
             else:
                 ivf._id_to_slot[vid] = int(ivf_slot)
             ivf._free_per_cluster[c] = max(ivf._free_per_cluster[c], i + 1)
-        ivf._dev = (jnp.asarray(buf, state.data.dtype), jnp.asarray(vbuf), jnp.asarray(sbuf))
+        ivf._gen = _IVFGen(
+            ivf.centroids, ivf.cnorms,
+            jnp.asarray(buf, state.data.dtype), jnp.asarray(vbuf), jnp.asarray(sbuf),
+            ivf._slot_ids, ivf.C, ivf.L,
+        )
         ivf.store_version = store.version
         return ivf

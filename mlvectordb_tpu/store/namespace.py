@@ -50,6 +50,14 @@ class DeviceState(NamedTuple):
     # Optional transposed sweep mirror [dpad, cap] in config.sweep_dtype: phase-1 of
     # the roofline kernel (ops/pallas_knn_t.py) reads this; rescan/hydration read data.
     data_t: Optional[jax.Array] = None
+    # Host slot tables (ids, metadata, values) captured at publish time.  Hydration of
+    # store-slot results MUST read all three from here — one atomic tuple — never from
+    # the store's live attributes: compact() replaces the three lists wholesale, so a
+    # racing reader assembling them attribute-by-attribute could pair one generation's
+    # ids with another's values (ADVICE r2).  The lists are shared with in-place
+    # writers, which is safe: a slot this snapshot's `valid` admits is never remapped
+    # by anything short of a compaction, and a compaction builds new lists.
+    host_tables: Optional[tuple] = None
 
 
 # NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
@@ -217,6 +225,7 @@ class NamespaceStore:
             self._data, self._valid, self._sq_norms,
             self._high_water, len(self._id_to_slot),
             self._data_t,
+            (self._slot_ids, self._slot_meta, self._slot_values) if self.host_mirror else None,
         )
 
     # ------------------------------------------------------------------ allocation

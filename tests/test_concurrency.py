@@ -117,3 +117,82 @@ def test_concurrent_writers_serialize(small_config, rng):
         VectorDTO(np.zeros(dim, np.float32)), top_k=expected, namespace="ns"
     )
     assert len(res) == expected
+
+
+def test_ivf_searches_race_retrain(small_config, rng):
+    """ADVICE r2 (medium): lock-free nprobe searches racing an auto-retrain must never
+    see a torn index generation (new centroids probing old cluster arrays, or old-layout
+    slots resolved against a relaid-out slot table -> wrong/empty ids).  Every hit must
+    be an id that was inserted, carrying that id's OWN vector payload."""
+    import dataclasses
+
+    # low threshold + no result cache: a retrain fires on nearly every writer round and
+    # every search actually probes the device index
+    qp = QueryProcessor(
+        config=dataclasses.replace(small_config, rebuild_threshold=0.05, result_cache_size=0)
+    )
+    dim = 16
+    centers = rng.standard_normal((8, dim)).astype(np.float32) * 10
+    rows = np.concatenate(
+        [c + 0.1 * rng.standard_normal((40, dim)).astype(np.float32) for c in centers]
+    )
+    vs = qp.upsert_many([VectorDTO(r, {"i": i}) for i, r in enumerate(rows)], "ns")
+    qp.build_ivf("ns", n_clusters=8, n_iters=5, seed=0)
+    ivf0 = qp.storage.namespace("ns").ivf
+    by_id = {v.id: np.asarray(v.values) for v in vs}
+    by_id_lock = threading.Lock()
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        """Overwrite vectors into far-away clusters: drift crosses rebuild_threshold
+        repeatedly, firing retrain() (the swap under test) many times."""
+        local = np.random.default_rng(7)
+        try:
+            gen = 0
+            while not stop.is_set() or gen < 6:  # at least 6 rounds even if searchers finish fast
+                idx = local.integers(0, len(vs), 30)
+                dtos = []
+                for i in idx:
+                    target = centers[(gen + 4) % 8] + 0.1 * local.standard_normal(dim)
+                    dtos.append(VectorDTO(target.astype(np.float32), {"moved": gen}, id=vs[i].id))
+                got = qp.upsert_many(dtos, "ns")
+                with by_id_lock:
+                    for v in got:
+                        by_id[v.id] = np.asarray(v.values)
+                gen += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher(seed):
+        local = np.random.default_rng(seed)
+        try:
+            for _ in range(60):
+                q = centers[local.integers(0, 8)] + 0.1 * local.standard_normal(dim)
+                res = qp.find_similar(
+                    VectorDTO(q.astype(np.float32)), top_k=5, namespace="ns",
+                    metric="l2", nprobe=3,
+                )
+                for r in res:
+                    assert isinstance(r["id"], uuid.UUID)
+                    assert r["id"] in by_id, "IVF returned an id that was never inserted"
+                    assert np.isfinite(r["score"])
+                    assert r["values"].shape == (dim,)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    w = threading.Thread(target=writer)
+    ss = [threading.Thread(target=searcher, args=(200 + i,)) for i in range(3)]
+    w.start()
+    for s in ss:
+        s.start()
+    for s in ss:
+        s.join(timeout=180)
+    stop.set()
+    w.join(timeout=180)
+    assert not errors, errors
+    # at least one retrain actually fired during the run (the race under test existed):
+    # retrain publishes a FRESH index object into ns.ivf
+    ivf = qp.storage.namespace("ns").ivf
+    assert ivf is not None and ivf.live_count == len(vs)
+    assert ivf is not ivf0, "no retrain fired; the test exercised nothing"
