@@ -15,7 +15,7 @@ from typing import List
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..store.namespace import NamespaceStore
+
 from ..store.storage import StorageEngine
 
 _MANIFEST = "manifest.json"
@@ -69,7 +69,15 @@ def save_storage(storage: StorageEngine, path: str) -> List[str]:
     return names
 
 
-def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEngine:
+def load_storage(
+    path: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    storage: StorageEngine = None,
+) -> StorageEngine:
+    """Restore a snapshot directory.  Pass ``storage`` (a fresh engine whose
+    namespace_factory builds e.g. ShardedNamespaceStore) to restore INTO a
+    distributed engine — namespaces are created through its factory so mesh
+    placement is re-applied; default is a plain single-device engine."""
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
     if manifest.get("format") != "mlvectordb-tpu-snapshot":
@@ -83,7 +91,10 @@ def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEng
             "(values are stored f32; this only changes device storage precision)",
             saved_cfg["dtype"], config.dtype,
         )
-    storage = StorageEngine(config)
+    if storage is None:
+        storage = StorageEngine(config)
+    elif storage.list_namespaces():
+        raise ValueError("load_storage target engine must be empty")
     for entry in manifest["namespaces"]:
         base = entry["file"]
         with np.load(os.path.join(path, base + ".npz")) as z:
@@ -97,7 +108,7 @@ def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEng
             "values": values,
             "metadata": meta["metadata"],
         }
-        ns = NamespaceStore.from_snapshot(snap, config, storage.host_mirror)
+        ns = storage.namespace(meta["name"], create=True).load_snapshot(snap)
         if entry.get("ivf"):
             from ..store.ivf import IVFIndex
 
@@ -107,5 +118,4 @@ def load_storage(path: str, config: EngineConfig = DEFAULT_CONFIG) -> StorageEng
                 isnap = json.load(f)
             isnap["centroids"] = centroids
             ns.ivf = IVFIndex.from_snapshot(ns, isnap)
-        storage._namespaces[meta["name"]] = ns
     return storage

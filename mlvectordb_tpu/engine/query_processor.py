@@ -90,6 +90,11 @@ class QueryProcessor:
         # a crash loses nothing past the last flushed record (engine/wal.py)
         self._wal = None
         self._wal_replaying = False
+        # host<->device transfer audit counters: the serving path does exactly ONE
+        # host->device (the query batch) and ONE device->host ((dist, idx) fetched
+        # together) per search — bench.py gates on these (through the axon relay each
+        # d->h readback costs a full ~28 ms RTT, so a second one would double latency)
+        self.transfer_counts = {"h2d": 0, "d2h": 0}
 
     def _result_cache_key(self, q_np, top_k, namespace, metric, filter, nprobe):
         ns = self.storage.namespace(namespace)
@@ -307,9 +312,11 @@ class QueryProcessor:
             with trace_span("knn_ivf", namespace=namespace, k=k_fetch, nprobe=nprobe):
                 # resolver is bound to the generation that produced the slots: a
                 # concurrent retrain cannot resolve old-layout slots in the new table
+                self.transfer_counts["h2d"] += 1
                 dist, idx, resolve = ivf.search_resolved(
                     jnp.asarray(q_pad), k_fetch, metric, nprobe
                 )
+            self.transfer_counts["d2h"] += 1
             dist, idx = jax.device_get((dist, idx))  # one relay round trip, not two
             return dist[:B, :k_fetch], idx[:B, :k_fetch], ns, resolve, None
 
@@ -358,6 +365,7 @@ class QueryProcessor:
         q_pad = np.zeros((Bb, ns.dpad), np.float32)
         q_pad[:B, : ns.dim] = q_np
 
+        self.transfer_counts["h2d"] += 1
         if hasattr(ns, "sharded_search"):  # distributed namespace: cross-shard reduction
             with trace_span("knn_sharded", namespace=namespace, k=kb, batch=Bb):
                 dist, idx = ns.sharded_search(
@@ -381,6 +389,7 @@ class QueryProcessor:
         # ONE device->host transfer for both arrays: through the axon relay every
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately
         # doubles the engine's per-batch latency for no reason
+        self.transfer_counts["d2h"] += 1
         dist, idx = jax.device_get((dist, idx))
         # None resolver = store slots; host_tables = the SNAPSHOT's generation of the
         # id/meta/value lists, so hydration can never mix generations with a racing
@@ -440,12 +449,9 @@ class QueryProcessor:
         else:
             user = self._to_user_score(dist, m)
             with trace_span("hydrate", namespace=namespace, batch=len(queries)):
-                results = [
-                    self._hydrate_scored(
-                        user[i], dist[i], slots[i], ns, resolver, limit=top_k, tables=tables
-                    )
-                    for i in range(len(queries))
-                ]
+                results = self._hydrate_batch(
+                    user, dist, slots, ns, resolver, limit=top_k, tables=tables
+                )
         kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
         self.stats.record(kind, (time.perf_counter() - t0) * 1e3)
         if cache_key is not None:
@@ -457,35 +463,61 @@ class QueryProcessor:
                 self._result_cache[cache_key] = [[dict(r) for r in rs] for rs in results]
         return results
 
+    def _hydrate_batch(
+        self, user, dist, slots, ns, resolver=None,
+        limit: Optional[int] = None, tables=None,
+    ) -> List[List[Dict[str, Any]]]:
+        """Hydrate a whole [B, k] result block into per-query result lists.
+
+        Fast path: results carry STORE slots (the exact-search path) and the host
+        mirror is on — one vectorized numpy mask prefilters the block, then a single
+        flat pass reads the slot tables directly (the per-row/per-hit Python loop this
+        replaces cost ~1.5 ms per batch-128; this runs in ~0.4 ms).  ``tables`` is the
+        search snapshot's generation of the three lists (DeviceState.host_tables): one
+        atomic capture, so a compaction racing this loop cannot pair one generation's
+        ids with another's values.  Metadata dicts are copied (Vector did too); values
+        intentionally alias the host mirror, same as the Vector path.
+        """
+        B = user.shape[0]
+        if resolver is not None or tables is None:
+            return [
+                self._hydrate_scored(user[i], dist[i], slots[i], ns, resolver, limit=limit)
+                for i in range(B)
+            ]
+        ids, metas, vals = tables
+        n_slots = len(ids)
+        keep = (dist < float(MASKED) / 2) & (slots >= 0) & (slots < n_slots)
+        counts = keep.sum(axis=1).tolist()
+        fs = slots[keep].tolist()
+        fu = user[keep].tolist()
+        rows = [
+            {
+                "id": ids[slot],
+                "values": vals[slot],
+                "metadata": dict(m) if (m := metas[slot]) else {},
+                "score": sc,
+            }
+            for slot, sc in zip(fs, fu)
+        ]
+        # a hit can reference a slot deleted AFTER the snapshot published (the shared
+        # host lists are nulled in place): drop those, mirroring the reference's
+        # silently-dropping hydration (query_processor.py:38-49).  Rare — scan once.
+        dropping = any(r["id"] is None or r["values"] is None for r in rows)
+        out, pos = [], 0
+        for c in counts:
+            chunk = rows[pos : pos + c]
+            pos += c
+            if dropping:
+                chunk = [r for r in chunk if r["id"] is not None and r["values"] is not None]
+            out.append(chunk)
+        return out
+
     def _hydrate_scored(
         self, user_row, dist_row, slot_row, ns, resolver=None,
-        limit: Optional[int] = None, tables=None,
+        limit: Optional[int] = None,
     ) -> List[Dict[str, Any]]:
         half_masked = float(MASKED) / 2
         out = []
-        # Fast path: results carry STORE slots (the exact-search path) and the host
-        # mirror is on — read the slot tables directly instead of resolving
-        # slot->uuid->Vector per hit (a Vector construction costs ~5 us; a hot batch
-        # hydrates thousands).  ``tables`` is the search snapshot's generation of the
-        # three lists (DeviceState.host_tables): one atomic capture, so a compaction
-        # racing this loop cannot pair one generation's ids with another's values.
-        # Metadata dicts are copied (Vector did too); values intentionally alias the
-        # host mirror, same as the Vector path.
-        if resolver is None and tables is not None:
-            ids, metas, vals = tables
-            n_slots = len(ids)
-            for u, d, slot in zip(user_row.tolist(), dist_row.tolist(), slot_row.tolist()):
-                if d >= half_masked or not 0 <= slot < n_slots:
-                    continue
-                vid = ids[slot]
-                if vid is None:
-                    continue
-                v = vals[slot]
-                if v is None:
-                    continue
-                m = metas[slot]
-                out.append({"id": vid, "values": v, "metadata": dict(m) if m else {}, "score": float(u)})
-            return out
         # Generic path (IVF etc.): dedupe by id — a spilled IVF index can surface
         # multiple copies of one vector; keep the first (best-ranked) occurrence.
         resolver = resolver or ns.slot_to_id
@@ -527,9 +559,9 @@ class QueryProcessor:
             self.stats.record("range", (time.perf_counter() - t0) * 1e3)
             return []
         user = self._to_user_score(dist, m)
-        hits = self._hydrate_scored(
-            user[0], dist[0], slots[0], ns, resolver, limit=limit, tables=tables
-        )
+        hits = self._hydrate_batch(
+            user, dist, slots, ns, resolver, limit=limit, tables=tables
+        )[0]
         if HIGHER_IS_BETTER[m]:
             hits = [h for h in hits if h["score"] >= radius]
         else:

@@ -70,13 +70,19 @@ class WriteAheadLog:
         ids: Optional[Sequence[uuid_mod.UUID]] = None,
         values: Optional[np.ndarray] = None,
         metadatas: Optional[Sequence[Optional[Dict[str, Any]]]] = None,
+        params: Optional[Dict[str, Any]] = None,
     ) -> None:
+        """``params``: op arguments with no vector payload (index lifecycle ops like
+        build_ivf/drop_ivf log their build parameters here and replay re-derives the
+        index from the recovered store)."""
         payload = b""
         header: Dict[str, Any] = {"op": op, "ns": namespace}
         if ids is not None:
             header["ids"] = [str(i) for i in ids]
         if metadatas is not None:
             header["meta"] = metadatas
+        if params is not None:
+            header["params"] = params
         if values is not None:
             values = np.ascontiguousarray(values, np.float32)
             header["shape"] = list(values.shape)

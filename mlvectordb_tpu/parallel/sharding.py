@@ -65,6 +65,14 @@ class ShardingManager:
         """Transposed sweep mirror [D, cap]: columns follow the rows' shard."""
         return NamedSharding(self.mesh, P(None, SHARD_AXIS))
 
+    def ivf_sharding_3d(self) -> NamedSharding:
+        """IVF cluster arrays [C, L, Dp]: clusters split over 'shard'."""
+        return NamedSharding(self.mesh, P(SHARD_AXIS, None, None))
+
+    def ivf_sharding_2d(self) -> NamedSharding:
+        """IVF per-row tables [C, L]: clusters split over 'shard'."""
+        return NamedSharding(self.mesh, P(SHARD_AXIS, None))
+
     def query_sharding(self) -> NamedSharding:
         """Query batches: split over 'replica', replicated over 'shard'."""
         return NamedSharding(self.mesh, P(REPLICA_AXIS, None))
@@ -148,6 +156,92 @@ class ShardingManager:
             out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
             check_vma=False,
         )(*args)
+
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "k", "metric", "nprobe")
+    )
+    def sharded_ivf_probe(self, q, centroids, cnorms, data3, valid3, sqn3, *, k, metric, nprobe):
+        """IVF probe search over cluster-sharded inverted lists (per-shard IVF).
+
+        centroids [C, Dp] / cnorms [C] are replicated (the coarse quantizer is tiny);
+        data3 [C, L, Dp] / valid3 / sqn3 [C, L] are split on the CLUSTER axis over
+        'shard' — each device holds C/S inverted lists, so index memory scales with the
+        mesh instead of concentrating on one chip.  ``nprobe`` semantics are identical
+        to the single-device path: every query probes its GLOBAL nprobe nearest
+        clusters; each shard scans the probed clusters it owns (unowned probes are
+        masked), and the [B, k] candidates merge over ICI with the same
+        all_gather + merge_topk reduction as exact sharded search.  Queries are
+        replica-sharded, so QPS scales over 'replica' while memory scales over 'shard'.
+        Returns (dist [B, k], ivf_slot [B, k]) with GLOBAL ivf slots (cluster*L+local).
+        """
+        from ..ops.distances import MASKED, pairwise_distances
+        from ..ops.topk import _fold_tile
+
+        C, L, _Dp = data3.shape
+        c_loc = C // self.n_shards
+
+        def local(q_loc, cent, cn, d3, v3, s3):
+            B = q_loc.shape[0]
+            q32 = q_loc.astype(jnp.float32)
+            qn = jnp.sum(q32 * q32, axis=-1)
+            probe_d = pairwise_distances(q32, cent, cn, qn, metric)     # [B, C]
+            _, probed = jax.lax.top_k(-probe_d, nprobe)                 # global ids
+            off = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * c_loc
+
+            init = (
+                jnp.full((B, k), MASKED, jnp.float32),
+                jnp.zeros((B, k), jnp.int32),
+            )
+
+            def step(carry, j):
+                bd, bi = carry
+                cids = probed[:, j]                       # [B] global cluster ids
+                loc = cids - off
+                owned = (loc >= 0) & (loc < c_loc)
+                locc = jnp.clip(loc, 0, c_loc - 1)
+                rows = d3[locc]                           # [B, L, Dp]
+                ok = v3[locc] & owned[:, None]
+                sq = s3[locc]
+                dots = jnp.einsum(
+                    "bd,bld->bl", q32, rows.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                if metric == "l2":
+                    d = jnp.maximum(qn[:, None] + sq - 2.0 * dots, 0.0)
+                elif metric == "ip":
+                    d = 1.0 - dots
+                else:
+                    denom = jax.lax.rsqrt(jnp.maximum(qn[:, None] * sq, 1e-30))
+                    d = 1.0 - dots * denom
+                d = jnp.where(ok, d, MASKED)
+                idx = cids[:, None] * L + jnp.arange(L, dtype=jnp.int32)[None, :]
+                return _fold_tile(bd, bi, d, idx, k), None
+
+            (bd, bi), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+
+            # cross-shard merge over ICI (same reduction as sharded_knn)
+            ds = jax.lax.all_gather(bd, SHARD_AXIS)
+            is_ = jax.lax.all_gather(bi, SHARD_AXIS)
+
+            def fold(carry, x):
+                cd, ci = carry
+                xd, xi = x
+                return merge_topk(cd, ci, xd, xi, k=k), None
+
+            (bd, bi), _ = jax.lax.scan(fold, (ds[0], is_[0]), (ds[1:], is_[1:]))
+            return bd, bi
+
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(REPLICA_AXIS, None), P(), P(),
+                P(SHARD_AXIS, None, None), P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+            ),
+            out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
+            check_vma=False,
+        )(q, centroids, cnorms, data3, valid3, sqn3)
 
 
 def merge_shard_results(

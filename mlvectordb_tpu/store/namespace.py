@@ -595,17 +595,22 @@ class NamespaceStore:
                 "metadata": [self._slot_meta[s] for _, s in live],
             }
 
-    @classmethod
-    def from_snapshot(
-        cls, snap: Dict[str, Any], config: EngineConfig = DEFAULT_CONFIG, host_mirror: bool = True
-    ) -> "NamespaceStore":
-        ns = cls(snap["name"], config, host_mirror)
+    def load_snapshot(self, snap: Dict[str, Any]) -> "NamespaceStore":
+        """Ingest a snapshot payload into this (fresh) store — works for any subclass,
+        so a sharded restore re-applies its mesh placement through the normal
+        bulk_upsert path."""
         if len(snap["ids"]):
-            ns.bulk_upsert(
+            self.bulk_upsert(
                 np.asarray(snap["values"], np.float32),
                 [uuid_mod.UUID(x) for x in snap["ids"]],
                 snap["metadata"],
             )
         elif snap.get("dim"):
-            ns._ensure_dim(int(snap["dim"]))
-        return ns
+            self._ensure_dim(int(snap["dim"]))
+        return self
+
+    @classmethod
+    def from_snapshot(
+        cls, snap: Dict[str, Any], config: EngineConfig = DEFAULT_CONFIG, host_mirror: bool = True
+    ) -> "NamespaceStore":
+        return cls(snap["name"], config, host_mirror).load_snapshot(snap)

