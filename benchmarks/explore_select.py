@@ -42,9 +42,9 @@ def main():
     q_np = rng.standard_normal((B, D), dtype=np.float32)
 
     db32 = jnp.asarray(db_np)
-    sweep_t = jnp.asarray(np.ascontiguousarray(db_np.T))
-    if args.dtype == "bf16":
-        sweep_t = sweep_t.astype(jnp.bfloat16)
+    from mlvectordb_tpu.ops import pallas_knn_t as _p
+    sweep_t = _p.to_sweep_layout(
+        jnp.asarray(db_np), dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
     sq = jnp.sum(db32 * db32, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     q = jnp.asarray(q_np)
@@ -80,39 +80,63 @@ def main():
         bench(f"full r1={r1}", full_fn, [q, sweep_t, db32, valid, sq],
               N * D * sw_bytes + B * (N // r1) * 4)
 
-    # phase-1 sweep alone across r1
-    hw = jnp.asarray([[N]], jnp.int32)
-    zr = jnp.zeros((1, N), jnp.float32)
-    srow = sq.reshape(1, N)
+    # phase-1 sweep alone across r1 (grouped-emission kernel)
+    srow = jnp.asarray(np.asarray(jax.device_get(
+        pkt.sweep_rows_1d(sq))).reshape(1, N))
     for r1 in (2, 4, 8, 16, 32):
         if not want(f"p1:{r1}"):
             continue
 
         def p1_fn(qq, ddt, sr, _r1=r1):
             qh = (-2.0 * qq).astype(ddt.dtype)
-            return pkt._window_mins_t(qh, ddt, sr, sr, hw,
-                                      q_tile=min(pkt.Q_TILE, B), db_tile=pkt.DB_TILE,
-                                      r1=_r1, use_scale=False, use_bias=True,
-                                      tail_mask=False)
+            return pkt._window_mins(qh, ddt, None, sr,
+                                    q_tile=min(pkt.Q_TILE, B), g=pkt.R1MAX // _r1)
         bench(f"phase1-only r1={r1}", p1_fn, [q, sweep_t, srow],
               N * D * sw_bytes + B * (N // r1) * 4)
 
-    # selection+rescan alone across r1 (precomputed wmin input)
-    for r1 in (2, 4, 8, 16, 32):
-        if K * r1 > N or not want(f"sel:{r1}"):
-            continue
-        wmin = jnp.asarray(
-            np.abs(rng.standard_normal((B, N // r1)).astype(np.float32)) + 1.0
-        )
+    # carrier-dependent selection probes (sel2): wmin derived from the carrier so
+    # nothing hoists out of the timing loop; isolates _select_and_rescan cost
+    if want("sel2"):
+        from mlvectordb_tpu.ops import pallas_knn_t as _pk
 
-        def sel_fn(qq, wm, dd, ss, _r1=r1):
-            qn_row = jnp.sum(qq * qq, axis=-1)[:, None]
-            return pkt._select_and_rescan_t(
-                qq, qn_row, dd, ss, jnp.int32(N), wm,
-                k=K, metric="l2", db_tile=pkt.DB_TILE, masked=False, r1=_r1,
-            )
-        bench(f"select+rescan-only r1={r1}", sel_fn, [q, wmin, db32, sq],
-              B * (N // r1) * 4)
+        for r1 in (2, 4, 8, 16, 32):
+            if K * r1 > N:
+                continue
+            P = N // r1
+            wbase = jnp.asarray(
+                np.abs(rng.standard_normal((B, P)).astype(np.float32)) + 1.0)
+            qn = jnp.sum(q * q, axis=-1)[:, None]
+
+            def selfull_fn(qq, wb, dd, _r1=r1):
+                wm = wb + qq[:, :1] * 0  # carrier-dependent
+                qn_row = jnp.sum(qq * qq, axis=-1)[:, None]
+                return _pk._select_and_rescan(
+                    qq, qn_row, dd, dd[:, 0] * 0, jnp.int32(N), wm,
+                    k=K, metric="l2", r1=_r1, masked=False)
+            bench(f"sel2 full r1={r1}", selfull_fn, [q, wbase, db32], B * P * 4)
+
+            def seltk_fn(qq, wb, _r1=r1):
+                wm = wb + qq[:, :1] * 0
+                W2 = (N // _r1) // 32
+                wmin3 = wm.reshape(B, W2, 32)
+                wmin2 = wmin3.min(-1)
+                s2 = min(min(2 * K, K + 16), W2)
+                v, i = _pk._topk_small(wmin2, s2)
+                return v.sum()[None]
+            bench(f"sel2 lvl2+topk r1={r1}", seltk_fn, [q, wbase], B * P * 4)
+
+            def selblk_fn(qq, wb, _r1=r1):
+                wm = wb + qq[:, :1] * 0
+                W2 = (N // _r1) // 32
+                wmin3 = wm.reshape(B, W2, 32)
+                wmin2 = wmin3.min(-1)
+                s2 = min(min(2 * K, K + 16), W2)
+                _, w2i = _pk._topk_small(wmin2, s2)
+                l1 = _pk._flat_rows(wmin3, w2i).reshape(B, s2 * 32)
+                s1 = min(min(2 * K, K + 16), s2 * 32)
+                v, pos = _pk._topk_small(l1, s1)
+                return v.sum()[None]
+            bench(f"sel2 +blk+topk r1={r1}", selblk_fn, [q, wbase], B * P * 4)
 
     # micro: the selection sub-steps in isolation
     if want("micro"):

@@ -33,7 +33,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from benchmarks.timing import device_seconds_per_call
-    from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t
+    from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t, to_sweep_layout
     from mlvectordb_tpu.ops.topk import exact_knn
 
     on_tpu = jax.default_backend() == "tpu"
@@ -72,7 +72,7 @@ def main() -> int:
     sift[: len(ds["data"]), : ds["data"].shape[1]] = ds["data"][:N]
     db_np = sift
     db = jnp.asarray(db_np)
-    db_t = db.T.astype(jnp.bfloat16)
+    db_t = to_sweep_layout(db, dtype=jnp.bfloat16)
     sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     qs_np = np.zeros((B, 128), np.float32)
@@ -199,7 +199,7 @@ def main() -> int:
     # ---------------- DEEP-10M shape: bf16 (config #4, single-chip portion) ---------
     N2 = 1 << (18 if args.quick else 23)  # 8.4M rows x 128 lanes bf16 = 2 GB
     _, db2, sq2 = mk(N2, 128, as_bf16=True)
-    db2_t = db2.T
+    db2_t = to_sweep_layout(db2)
     valid2 = jnp.ones((N2,), jnp.bool_)
     t = device_seconds_per_call(
         lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",

@@ -73,6 +73,30 @@ class ShardedNamespaceStore(NamespaceStore):
 
     # ------------------------------------------------------------------ allocation hooks
 
+    def _mirror_ok(self, cap: int) -> bool:
+        # the window-major layout is shard-local: every shard's column block must be
+        # whole SWEEP_TILE-row tiles
+        from ..ops.pallas_knn_t import SWEEP_TILE
+
+        per_shard = cap // self.n_shards if self.n_shards else 0
+        return per_shard >= SWEEP_TILE and per_shard % SWEEP_TILE == 0
+
+    def _build_mirror(self):
+        sdt = self._sweep_dtype()
+        if sdt is None or self._data is None or not self._mirror_ok(self._data.shape[0]):
+            return None
+        from ..ops.pallas_knn_t import to_sweep_layout
+
+        return jax.device_put(
+            to_sweep_layout(self._data, dtype=sdt, shard_cap=self.shard_capacity),
+            self.sharding.db_sharding_2d_t(),
+        )
+
+    def _mirror_cols(self, slots):
+        from ..ops.pallas_knn_t import sweep_cols_for_rows
+
+        return sweep_cols_for_rows(slots, shard_cap=self.shard_capacity)
+
     def _alloc_arrays(self, new_cap: int) -> None:
         # new_cap is a GLOBAL row count; round the per-shard capacity to a lane-friendly
         # multiple and keep all shards equal
@@ -85,15 +109,16 @@ class ShardedNamespaceStore(NamespaceStore):
         spec2d = self.sharding.db_sharding_2d()
         spec1d = self.sharding.db_sharding()
         spec2d_t = self.sharding.db_sharding_2d_t()
+        total = per_shard * self.n_shards
         if self._data is None:
-            total = per_shard * self.n_shards
             self._data = jax.device_put(jnp.zeros((total, self.dpad), dtype), spec2d)
             self._valid = jax.device_put(jnp.zeros((total,), jnp.bool_), spec1d)
             self._sq_norms = jax.device_put(jnp.zeros((total,), jnp.float32), spec1d)
-            if sdt is not None:
+            if sdt is not None and self._mirror_ok(total):
                 self._data_t = jax.device_put(jnp.zeros((self.dpad, total), sdt), spec2d_t)
         else:
             old = self.shard_capacity
+            old_total = old * self.n_shards
             self._data, self._valid, self._sq_norms = _regrow(
                 self._data, self._valid, self._sq_norms,
                 n_shards=self.n_shards, old_shard_cap=old, new_shard_cap=per_shard,
@@ -101,12 +126,19 @@ class ShardedNamespaceStore(NamespaceStore):
             self._data = jax.device_put(self._data, spec2d)
             self._valid = jax.device_put(self._valid, spec1d)
             self._sq_norms = jax.device_put(self._sq_norms, spec1d)
-            if self._data_t is not None:
-                self._data_t = jax.device_put(
-                    _regrow_t(self._data_t, n_shards=self.n_shards,
-                              old_shard_cap=old, new_shard_cap=per_shard),
-                    spec2d_t,
-                )
+            if sdt is not None and self._mirror_ok(total):
+                if self._data_t is not None and self._mirror_ok(old_total):
+                    # both layouts are whole tiles per shard: per-shard column pad
+                    self._data_t = jax.device_put(
+                        _regrow_t(self._data_t, n_shards=self.n_shards,
+                                  old_shard_cap=old, new_shard_cap=per_shard),
+                        spec2d_t,
+                    )
+                else:
+                    self.shard_capacity = per_shard  # _build_mirror reads it
+                    self._data_t = self._build_mirror()
+            else:
+                self._data_t = None
             # remap host tables: slot shard*old+local -> shard*new+local
             remap = {}
             for vid, slot in self._id_to_slot.items():

@@ -78,9 +78,12 @@ def _scatter_rows(data, valid, sq_norms, slots, vals):
 
 
 @jax.jit
-def _scatter_cols_t(data_t, slots, vals):
-    """Sweep-mirror update: scatter the same rows as COLUMNS of the [dpad, cap] mirror."""
-    return data_t.at[:, slots].set(vals.astype(jnp.float32).T.astype(data_t.dtype))
+def _scatter_cols_t(data_t, cols, vals):
+    """Sweep-mirror update: scatter rows as COLUMNS of the [dpad, cap] mirror.
+
+    ``cols`` are WINDOW-MAJOR sweep-layout columns (ops.pallas_knn_t.sweep_cols_for_rows
+    of the store slots — computed host-side, pure arithmetic)."""
+    return data_t.at[:, cols].set(vals.astype(jnp.float32).T.astype(data_t.dtype))
 
 
 @jax.jit
@@ -204,9 +207,7 @@ class NamespaceStore:
         self._data = jnp.asarray(host["data"], self._storage_dtype())
         self._valid = jnp.asarray(host["valid"])
         self._sq_norms = jnp.asarray(host["sq_norms"])
-        sdt = self._sweep_dtype()
-        if sdt is not None:
-            self._data_t = jnp.asarray(host["data"].T, sdt)
+        self._data_t = self._build_mirror()
 
     def ensure_resident(self) -> bool:
         """Page an offloaded namespace back into HBM (no-op when resident)."""
@@ -249,6 +250,29 @@ class NamespaceStore:
             return None
         return jnp.bfloat16 if sd == "bfloat16" else jnp.float32
 
+    def _mirror_ok(self, cap: int) -> bool:
+        """The window-major sweep layout (ops/pallas_knn_t.py) needs whole
+        SWEEP_TILE-row tiles; smaller/unaligned capacities run mirror-less (the fused
+        kernel disengages below 2 tiles anyway)."""
+        from ..ops.pallas_knn_t import SWEEP_TILE
+
+        return cap >= SWEEP_TILE and cap % SWEEP_TILE == 0
+
+    def _build_mirror(self):
+        """(Re)build the window-major sweep mirror from the current device matrix."""
+        sdt = self._sweep_dtype()
+        if sdt is None or self._data is None or not self._mirror_ok(self._data.shape[0]):
+            return None
+        from ..ops.pallas_knn_t import to_sweep_layout
+
+        return to_sweep_layout(self._data, dtype=sdt)
+
+    def _mirror_cols(self, slots: np.ndarray) -> np.ndarray:
+        """Store slots -> sweep-layout mirror columns (host-side arithmetic)."""
+        from ..ops.pallas_knn_t import sweep_cols_for_rows
+
+        return sweep_cols_for_rows(slots)
+
     def _alloc_arrays(self, new_cap: int) -> None:
         """Create or grow the device arrays to new_cap rows (hook for sharded variant)."""
         dtype = self._storage_dtype()
@@ -257,15 +281,23 @@ class NamespaceStore:
             self._data = jnp.zeros((new_cap, self.dpad), dtype)
             self._valid = jnp.zeros((new_cap,), jnp.bool_)
             self._sq_norms = jnp.zeros((new_cap,), jnp.float32)
-            if sdt is not None:
+            if sdt is not None and self._mirror_ok(new_cap):
                 self._data_t = jnp.zeros((self.dpad, new_cap), sdt)
         else:
             grow = new_cap - self.capacity
+            old_cap = self.capacity
             self._data = jnp.pad(self._data, ((0, grow), (0, 0)))
             self._valid = jnp.pad(self._valid, (0, grow))
             self._sq_norms = jnp.pad(self._sq_norms, (0, grow))
-            if self._data_t is not None:
-                self._data_t = jnp.pad(self._data_t, ((0, 0), (0, grow)))
+            if sdt is not None and self._mirror_ok(new_cap):
+                if self._data_t is not None and self._mirror_ok(old_cap):
+                    # window-major layout is tile-local: whole appended tiles extend
+                    # the column axis without disturbing existing tiles
+                    self._data_t = jnp.pad(self._data_t, ((0, 0), (0, grow)))
+                else:
+                    self._data_t = self._build_mirror()  # first eligible capacity
+            else:
+                self._data_t = None
 
     def _grow_host_tables(self, new_cap: int) -> None:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
@@ -370,7 +402,9 @@ class NamespaceStore:
                 self._data, self._valid, self._sq_norms, slots_j, vals_j
             )
             if self._data_t is not None:
-                self._data_t = _scatter_cols_t(self._data_t, slots_j, vals_j)
+                self._data_t = _scatter_cols_t(
+                    self._data_t, jnp.asarray(self._mirror_cols(slots)), vals_j
+                )
             self.version += 1
             self._publish()
 
@@ -430,7 +464,9 @@ class NamespaceStore:
                 self._data, self._valid, self._sq_norms, slots_j, vals_j
             )
             if self._data_t is not None:
-                self._data_t = _scatter_cols_t(self._data_t, slots_j, vals_j)
+                self._data_t = _scatter_cols_t(
+                    self._data_t, jnp.asarray(self._mirror_cols(slots)), vals_j
+                )
             self.version += 1
             self._publish()
             return list(ids)
@@ -507,9 +543,7 @@ class NamespaceStore:
             if n:
                 buf[:n] = data_live
             self._data = jnp.asarray(buf, dtype)
-            sdt = self._sweep_dtype()
-            if sdt is not None:
-                self._data_t = jnp.asarray(buf.T, sdt)
+            self._data_t = self._build_mirror()
             valid = np.zeros((new_cap,), bool)
             valid[:n] = True
             self._valid = jnp.asarray(valid)

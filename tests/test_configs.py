@@ -116,4 +116,27 @@ def test_sweep_mirror_end_to_end(rng, oracle):
     got = qp.find_similar(VectorDTO(q), top_k=5, namespace="ns", metric="l2")
     assert [r["id"] for r in got] == [ids[i] for i in oidx[0]]
     st = qp.storage.namespace("ns").device_state()
-    assert st.data_t is not None and st.data_t.dtype == jnp.bfloat16
+    # below one SWEEP_TILE of capacity the window-major mirror doesn't exist (the
+    # fused kernel disengages there anyway)
+    assert st.data_t is None
+
+    # at tile-aligned capacity the mirror exists, in sweep layout, tracking mutations
+    from mlvectordb_tpu.ops.pallas_knn_t import to_sweep_layout
+
+    cfg2 = EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="bfloat16",
+        query_buckets=(4, 16), k_buckets=(8, 32), use_pallas=False,
+    )
+    qp2 = QueryProcessor(config=cfg2)
+    vs2 = qp2.upsert_many(
+        [VectorDTO(rng.standard_normal(16).astype(np.float32), {"i": i}) for i in range(50)],
+        "ns",
+    )
+    qp2.delete([vs2[3].id], "ns")
+    qp2.upsert_many([VectorDTO(rng.standard_normal(16).astype(np.float32), id=vs2[7].id)], "ns")
+    st2 = qp2.storage.namespace("ns").device_state()
+    assert st2.data_t is not None and st2.data_t.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(st2.data_t),
+        np.asarray(to_sweep_layout(st2.data, dtype=jnp.bfloat16)),
+    )

@@ -56,7 +56,7 @@ def test_offload_then_write_pages_in_without_data_loss(qp, rng):
 def test_offload_with_sweep_mirror_rebuilds_it(rng):
     from mlvectordb_tpu.config import EngineConfig
 
-    cfg = EngineConfig(initial_capacity=64, capacity_multiple=32,
+    cfg = EngineConfig(initial_capacity=4096, capacity_multiple=4096,
                        sweep_dtype="float32", use_pallas=False)
     qp = QueryProcessor(config=cfg)
     qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(20)], "ns")
@@ -66,8 +66,10 @@ def test_offload_with_sweep_mirror_rebuilds_it(rng):
     qp.restore_namespace("ns")
     st = ns.device_state()
     import jax
+    from mlvectordb_tpu.ops.pallas_knn_t import to_sweep_layout
     np.testing.assert_array_equal(
-        np.asarray(jax.device_get(st.data_t)), np.asarray(jax.device_get(st.data)).T
+        np.asarray(jax.device_get(st.data_t)),
+        np.asarray(jax.device_get(to_sweep_layout(st.data))),
     )
 
 

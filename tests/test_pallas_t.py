@@ -8,7 +8,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mlvectordb_tpu.ops.pallas_knn_t import DB_TILE, exact_knn_pallas_t
+from mlvectordb_tpu.ops.pallas_knn_t import (
+    DB_TILE,
+    exact_knn_pallas_t,
+    sweep_cols_for_rows,
+    sweep_rows_1d,
+    to_sweep_layout,
+)
 from mlvectordb_tpu.ops.topk import exact_knn
 
 N = 2 * DB_TILE
@@ -28,7 +34,7 @@ def test_matches_scan_backend(rng, metric, masked):
     q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
     valid = jnp.ones((N,), jnp.bool_)
     dp, ipx = exact_knn_pallas_t(
-        q, db.T, db, valid, sq, k=5, metric=metric,
+        q, to_sweep_layout(db), db, valid, sq, k=5, metric=metric,
         live_prefix=None if masked else N,
     )
     da, ia = exact_knn(q, db, valid, sq, k=5, metric=metric, db_tile=DB_TILE)
@@ -45,7 +51,7 @@ def test_bf16_sweep_f32_rescan_matches_oracle(rng):
     db, sq = _mk(rng)
     q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
     valid = jnp.ones((N,), jnp.bool_)
-    db16t = db.T.astype(jnp.bfloat16)
+    db16t = to_sweep_layout(db, dtype=jnp.bfloat16)
     dp, ipx = exact_knn_pallas_t(q, db16t, db, valid, sq, k=10, metric="l2", live_prefix=N)
     da, ia = exact_knn(q, db, valid, sq, k=10, metric="l2", db_tile=DB_TILE)
     for b in range(8):
@@ -63,7 +69,7 @@ def test_tail_mask_excludes_unwritten_rows(rng):
     sq = jnp.asarray((db_np ** 2).sum(-1))
     q = jnp.zeros((8, D), jnp.float32)
     valid = jnp.ones((N,), jnp.bool_)
-    dp, ipx = exact_knn_pallas_t(q, db.T, db, valid, sq, k=5, metric="l2", live_prefix=hw)
+    dp, ipx = exact_knn_pallas_t(q, to_sweep_layout(db), db, valid, sq, k=5, metric="l2", live_prefix=hw)
     assert (np.asarray(ipx) < hw).all(), "phantom unwritten row admitted"
 
 
@@ -73,7 +79,7 @@ def test_masked_variant_excludes_tombstones(rng):
     valid = np.ones(N, bool)
     valid[5] = False
     dp, ipx = exact_knn_pallas_t(
-        q, db.T, db, jnp.asarray(valid), sq, k=3, metric="l2", live_prefix=None
+        q, to_sweep_layout(db), db, jnp.asarray(valid), sq, k=3, metric="l2", live_prefix=None
     )
     assert 5 not in np.asarray(ipx)[0].tolist()
     assert np.asarray(ipx)[1, 0] == 6
@@ -94,7 +100,7 @@ def test_k_clamps_and_pads(rng):
     valid = jnp.ones((N,), jnp.bool_)
     # big k on the fused path (k*r1 <= cap holds for r1=32 only when k small; force r1)
     dp, ipx = exact_knn_pallas_t(
-        q, db.T, db, valid, sq, k=128, metric="l2", live_prefix=N, r1_override=8
+        q, to_sweep_layout(db), db, valid, sq, k=128, metric="l2", live_prefix=N, r1_override=8
     )
     da, ia = exact_knn(q, db, valid, sq, k=128, metric="l2", db_tile=DB_TILE)
     for b in range(8):
@@ -108,11 +114,55 @@ def test_k1000_oracle_equality(rng):
     n = 4 * DB_TILE
     q = jnp.asarray(rng.standard_normal((4, D), dtype=np.float32))
     valid = jnp.ones((n,), jnp.bool_)
-    dp, ipx = exact_knn_pallas_t(q, db.T, db, valid, sq, k=1000, metric="l2",
-                                 live_prefix=n, r1_override=8)
+    dp, ipx = exact_knn_pallas_t(q, to_sweep_layout(db), db, valid, sq, k=1000, metric="l2",
+                                 live_prefix=n, r1_override=4)
     da, ia = exact_knn(q, db, valid, sq, k=1000, metric="l2", db_tile=DB_TILE)
     for b in range(4):
         assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
     np.testing.assert_allclose(
         np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sweep_layout_roundtrip(rng):
+    """Layout identities: to_sweep_layout, sweep_cols_for_rows, sweep_rows_1d agree."""
+    db, sq = _mk(rng)
+    sw = np.asarray(to_sweep_layout(db))
+    rows = np.arange(N)
+    cols = sweep_cols_for_rows(rows)
+    # column cols[s] of the sweep mirror holds store row s
+    np.testing.assert_array_equal(sw[:, cols], np.asarray(db).T)
+    # per-row vector permutation matches the column mapping
+    v = rng.standard_normal(N).astype(np.float32)
+    vp = np.asarray(sweep_rows_1d(jnp.asarray(v)))
+    np.testing.assert_array_equal(vp[cols], v)
+
+
+@pytest.mark.parametrize("r1", [1, 2, 4, 8, 16, 32])
+def test_every_window_width_matches_oracle(rng, r1):
+    """The grouped-emission kernel must be exact at every supported granularity."""
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    k = 7
+    dp, ipx = exact_knn_pallas_t(
+        q, to_sweep_layout(db), db, valid, sq, k=k, metric="l2",
+        live_prefix=N, r1_override=r1,
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=k, metric="l2", db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), (r1, b)
+
+
+def test_chunked_topk_path_is_exact(rng):
+    """k > 256 routes wide selections through the chunked top_k — results must be
+    identical to the scan backend (set-exact)."""
+    n = 4 * DB_TILE
+    db, sq = _mk(rng, n=n)
+    q = jnp.asarray(rng.standard_normal((4, D), dtype=np.float32))
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx = exact_knn_pallas_t(q, to_sweep_layout(db), db, valid, sq, k=300,
+                                 metric="l2", live_prefix=n, r1_override=4)
+    da, ia = exact_knn(q, db, valid, sq, k=300, metric="l2", db_tile=DB_TILE)
+    for b in range(4):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())

@@ -218,12 +218,14 @@ def test_sharded_compaction_preserves_ivf(rng, small_config):
 
 
 def test_sharded_store_maintains_transposed_mirror(rng, oracle):
-    """sweep_dtype on a sharded namespace: the [D, cap] mirror is sharded on its column
-    axis, tracks every mutation class, and sharded_search stays oracle-exact."""
+    """sweep_dtype on a sharded namespace: the [D, cap] window-major mirror is sharded
+    on its column axis (shard-locally permuted), tracks every mutation class, and
+    sharded_search stays oracle-exact."""
     from mlvectordb_tpu.config import EngineConfig
+    from mlvectordb_tpu.ops.pallas_knn_t import to_sweep_layout
 
     cfg = EngineConfig(
-        initial_capacity=64, capacity_multiple=32, db_tile=64,
+        initial_capacity=4096, capacity_multiple=4096, db_tile=64,
         query_buckets=(8, 64), k_buckets=(8, 32),
         use_pallas=False, sweep_dtype="float32",
     )
@@ -235,22 +237,24 @@ def test_sharded_store_maintains_transposed_mirror(rng, oracle):
     ns = qp.storage.namespace("ns")
     st = ns.device_state()
     assert st.data_t is not None
-    # mirror equals data.T and is sharded over the column axis
-    np.testing.assert_array_equal(
-        np.asarray(jax.device_get(st.data_t)), np.asarray(jax.device_get(st.data)).T
-    )
+
+    def check(st):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(st.data_t)),
+            np.asarray(jax.device_get(
+                to_sweep_layout(st.data, shard_cap=ns.shard_capacity)
+            )),
+        )
+
+    check(st)
     from jax.sharding import PartitionSpec as P
 
     assert st.data_t.sharding.spec == P(None, "shard")
 
-    # growth keeps the mirror consistent
-    qp.upsert_many(
-        [dto(rng.standard_normal(16).astype(np.float32)) for _ in range(800)], "ns"
-    )
-    st = ns.device_state()
-    np.testing.assert_array_equal(
-        np.asarray(jax.device_get(st.data_t)), np.asarray(jax.device_get(st.data)).T
-    )
+    # growth (per-shard 4096 -> 8192 columns) keeps the mirror consistent
+    qp.bulk_load(rng.standard_normal((18000, 16)).astype(np.float32), "ns")
+    assert ns.shard_capacity > 4096 and ns.shard_capacity % 4096 == 0
+    check(ns.device_state())
 
     # search through the mirror-passing sharded path stays oracle-exact
     qp.delete([vs[3].id], "ns")

@@ -235,8 +235,11 @@ def test_sweep_mirror_tracks_store(rng):
     from mlvectordb_tpu.store.namespace import NamespaceStore
     from mlvectordb_tpu.store.vector import Vector
 
+    from mlvectordb_tpu.ops.pallas_knn_t import to_sweep_layout
+
     cfg = EngineConfig(
-        initial_capacity=64, capacity_multiple=32, sweep_dtype="float32", use_pallas=False
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="float32",
+        use_pallas=False,
     )
     ns = NamespaceStore("m", cfg)
 
@@ -245,7 +248,7 @@ def test_sweep_mirror_tracks_store(rng):
         assert st.data_t is not None
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(st.data_t)),
-            np.asarray(jax.device_get(st.data)).T,
+            np.asarray(jax.device_get(to_sweep_layout(st.data))),
         )
 
     vs = [Vector(rng.standard_normal(8).astype(np.float32), {"i": i}) for i in range(20)]
@@ -253,7 +256,8 @@ def test_sweep_mirror_tracks_store(rng):
     check()
     ns.upsert([Vector(rng.standard_normal(8).astype(np.float32), {}, id=vs[3].id)])
     check()
-    ns.bulk_upsert(rng.standard_normal((100, 8)).astype(np.float32))  # forces growth
+    ns.bulk_upsert(rng.standard_normal((5000, 8)).astype(np.float32))  # forces growth
+    assert ns.capacity == 8192
     check()
     ns.delete([v.id for v in vs[:10]])
     check()
