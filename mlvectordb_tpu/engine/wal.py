@@ -126,6 +126,16 @@ class WriteAheadLog:
             except FileNotFoundError:
                 pass
 
+    def total_bytes(self) -> int:
+        """Bytes currently held across all segments (drives WAL-only checkpointing)."""
+        total = 0
+        for f in self._segments():
+            try:
+                total += os.path.getsize(os.path.join(self.path, f))
+            except FileNotFoundError:
+                pass
+        return total
+
     def close(self) -> None:
         with self._lock:
             if self._fh is not None:
@@ -136,32 +146,40 @@ class WriteAheadLog:
 
     @staticmethod
     def replay(path: str) -> Iterator[Dict[str, Any]]:
-        """Yield every intact record, oldest segment first.  Stops a segment at the
-        first torn/corrupt record (crash artifact) and logs how much was dropped."""
+        """Yield every intact record, oldest segment first.
+
+        A torn/corrupt record stops replay ENTIRELY — not just its segment: records
+        in later segments were written after the gap, and applying them without the
+        gap's records would replay mutations out of order (a delete could land
+        before the insert it tombstones).  A torn tail in the FINAL segment is the
+        expected crash artifact; corruption in an earlier segment is logged as an
+        error with the segments skipped (ADVICE r2)."""
         if not os.path.isdir(path):
             return
-        for seg in sorted(
+        segments = sorted(
             f for f in os.listdir(path) if f.startswith(_SEG_PREFIX) and f.endswith(".log")
-        ):
+        )
+        for si, seg in enumerate(segments):
             full = os.path.join(path, seg)
             with open(full, "rb") as fh:
                 data = fh.read()
             pos = 0
+            torn = False
             while pos + 16 <= len(data):
                 if data[pos : pos + 4] != _MAGIC:
-                    _warn_torn(full, pos, len(data))
+                    torn = True
                     break
                 hlen, plen = struct.unpack_from("<II", data, pos + 4)
                 crc_stored = struct.unpack_from("<I", data, pos + 12)[0]
                 end = pos + 16 + hlen + plen
                 if end > len(data):
-                    _warn_torn(full, pos, len(data))
+                    torn = True
                     break
                 hbytes = data[pos + 16 : pos + 16 + hlen]
                 payload = data[pos + 16 + hlen : end]
                 crc = zlib.crc32(payload, zlib.crc32(hbytes) & 0xFFFFFFFF) & 0xFFFFFFFF
                 if crc != crc_stored:
-                    _warn_torn(full, pos, len(data))
+                    torn = True
                     break
                 header = json.loads(hbytes)
                 if payload:
@@ -170,12 +188,23 @@ class WriteAheadLog:
                     )
                 yield header
                 pos = end
+            if torn:
+                _warn_torn(full, pos, len(data), segments[si + 1 :])
+                return
 
 
-def _warn_torn(path: str, pos: int, size: int) -> None:
+def _warn_torn(path: str, pos: int, size: int, later_segments) -> None:
     import logging
 
-    logging.getLogger(__name__).warning(
-        "WAL %s: torn/corrupt record at byte %d of %d — dropping the tail "
-        "(expected after a crash mid-append)", path, pos, size
-    )
+    log = logging.getLogger(__name__)
+    if later_segments:
+        log.error(
+            "WAL %s: torn/corrupt record at byte %d of %d in a NON-final segment — "
+            "stopping replay here; %d later segment(s) NOT applied (%s) to preserve "
+            "mutation order", path, pos, size, len(later_segments), later_segments,
+        )
+    else:
+        log.warning(
+            "WAL %s: torn/corrupt record at byte %d of %d — dropping the tail "
+            "(expected after a crash mid-append)", path, pos, size
+        )

@@ -140,3 +140,76 @@ def test_prune_deferred_until_snapshot_is_final(tmp_path, small_config, rng):
 
     qp._wal.prune(sealed)  # what the caller does after the rename
     assert not any(os.path.exists(s) for s in sealed)
+
+
+def test_wal_covers_ivf_lifecycle(tmp_path, small_config, rng):
+    """bulk_load -> build_ivf -> crash -> WAL-only recovery: nprobe search still runs
+    the IVF path with pre-crash-equivalent layout (VERDICT r2 #6)."""
+    wal_dir = str(tmp_path / "wal")
+    qp = QueryProcessor(config=small_config)
+    qp.enable_wal(wal_dir)
+    vals = rng.standard_normal((300, 8)).astype(np.float32)
+    qp.bulk_load(vals, "ns")
+    stats = qp.build_ivf("ns", n_clusters=8, seed=5)
+    pre = qp.find_similar(dto(vals[7]), top_k=5, namespace="ns", nprobe=8)
+    # simulated crash: nothing saved except the WAL
+    qp2 = QueryProcessor.load(str(tmp_path / "nonexistent"), small_config, wal_path=wal_dir)
+    ns2 = qp2.storage.namespace("ns")
+    assert ns2.ivf is not None, "recovered server silently lost its IVF index"
+    assert ns2.ivf.C == stats["clusters"] and ns2.ivf.spill == stats["spill"]
+    post = qp2.find_similar(dto(vals[7]), top_k=5, namespace="ns", nprobe=8)
+    # seeded k-means over the same recovered rows: same answers, not just same shape
+    assert [r["id"] for r in post] == [r["id"] for r in pre]
+
+    # drop is logged too: recovery after a drop must NOT resurrect the index
+    qp2.drop_ivf("ns")
+    qp3 = QueryProcessor.load(str(tmp_path / "nonexistent"), small_config, wal_path=wal_dir)
+    assert qp3.storage.namespace("ns").ivf is None
+
+
+def test_wal_torn_middle_segment_stops_replay(tmp_path, rng):
+    """Corruption in a NON-final segment must stop replay entirely — applying later
+    segments over the gap would replay mutations out of order (ADVICE r2)."""
+    wal = WriteAheadLog(str(tmp_path / "wal"))
+    wal.append("upsert", "a", ids=[uuid.uuid4()],
+               values=rng.standard_normal((1, 4)).astype(np.float32))
+    sealed = wal.rotate()
+    wal.append("upsert", "b", ids=[uuid.uuid4()],
+               values=rng.standard_normal((1, 4)).astype(np.float32))
+    wal.rotate()
+    wal.append("upsert", "c", ids=[uuid.uuid4()],
+               values=rng.standard_normal((1, 4)).astype(np.float32))
+    wal.close()
+    # corrupt the MIDDLE segment (segment 1)
+    seg1 = sorted(
+        f for f in os.listdir(str(tmp_path / "wal")) if f.startswith("wal_")
+    )[1]
+    p = str(tmp_path / "wal" / seg1)
+    data = bytearray(open(p, "rb").read())
+    data[20] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+
+    recs = list(WriteAheadLog.replay(str(tmp_path / "wal")))
+    # segment 0 applies; corrupt segment 1 stops everything, segment 2 NOT applied
+    assert [r["ns"] for r in recs] == ["a"]
+
+
+def test_wal_only_checkpoint_bounds_growth(tmp_path, small_config, rng):
+    """WAL-only mode with checkpoint_bytes: the log gets pruned into a checkpoint
+    snapshot, and recovery = checkpoint + remaining segments (ADVICE r2)."""
+    wal_dir = str(tmp_path / "wal")
+    qp = QueryProcessor(config=small_config)
+    qp.enable_wal(wal_dir, checkpoint_bytes=20_000)
+    all_vals = rng.standard_normal((400, 8)).astype(np.float32)
+    ids = []
+    for lo in range(0, 400, 50):
+        ids.extend(qp.bulk_load(all_vals[lo : lo + 50], "ns"))
+    wal_bytes = qp._wal.total_bytes()
+    assert wal_bytes < 20_000 + 8_000, "log never pruned in WAL-only mode"
+    assert os.path.isfile(os.path.join(wal_dir, "checkpoint", "manifest.json"))
+    qp.delete([ids[0]], "ns")
+
+    qp2 = QueryProcessor.load(str(tmp_path / "nope"), small_config, wal_path=wal_dir)
+    assert qp2.get_namespace_count("ns") == 399
+    got = qp2.find_similar(dto(all_vals[5]), top_k=1, namespace="ns", metric="l2")
+    assert got[0]["id"] == ids[5] and got[0]["score"] == pytest.approx(0.0, abs=1e-6)
