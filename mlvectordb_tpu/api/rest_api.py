@@ -411,6 +411,10 @@ class RestAPI:
                 {
                     "status": "success" if removed else "error",
                     "message": f"{len(removed)} vectors deleted",
+                    # additive field (reference payload keeps status/message): the
+                    # router unions these across replicas for an exact delete count
+                    # even when divergent replicas each hold ids the other lacks
+                    "ids": [str(i) for i in removed],
                 }
             )
         except Exception as e:

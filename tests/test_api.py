@@ -152,11 +152,14 @@ async def test_delete_semantics(client, qp):
         "/vectors?namespace=ns", json={"ids": [str(ids[0]), str(ids[1])]}
     )
     body = await resp.json()
-    assert body == {"status": "success", "message": "2 vectors deleted"}
+    assert body["status"] == "success" and body["message"] == "2 vectors deleted"
+    # additive field: the actually-removed ids (exact router delete accounting)
+    assert sorted(body["ids"]) == sorted([str(ids[0]), str(ids[1])])
     # deleting unknown ids -> status error, 0 deleted
     resp = await client.delete("/vectors?namespace=ns", json={"ids": [str(uuid.uuid4())]})
     body = await resp.json()
-    assert body == {"status": "error", "message": "0 vectors deleted"}
+    assert body["status"] == "error" and body["message"] == "0 vectors deleted"
+    assert body["ids"] == []
 
 
 @api_test

@@ -272,3 +272,159 @@ def test_fingerprint_endpoint_shape(small_config, rng):
             await client.close()
 
     asyncio.run(runner())
+
+
+async def _spin_cluster(small_config, n_backends, replicas=1, api_key=None):
+    """(qps, backend_clients, router_client, router) with servers started."""
+    qps = [QueryProcessor(config=small_config) for _ in range(n_backends)]
+    apis = [RestAPI(qp, enable_file_logging=False, log_level="WARNING") for qp in qps]
+    clients = [TestClient(TestServer(a.app)) for a in apis]
+    for c in clients:
+        await c.start_server()
+    backends = [str(c.make_url("")).rstrip("/") for c in clients]
+    router = RouterAPI(backends, api_key=api_key, replicas=replicas)
+    rclient = TestClient(TestServer(router.app))
+    await rclient.start_server()
+    return qps, clients, rclient, router
+
+
+async def _teardown(clients, rclient):
+    await rclient.close()
+    for c in clients:
+        await c.close()
+
+
+def test_router_requires_incoming_auth(small_config, rng):
+    """--api-key must gate INCOMING requests too, not just be forwarded to backends
+    (an open router in front of keyed backends silently removes auth)."""
+    async def runner():
+        qps, clients, rclient, router = await _spin_cluster(small_config, 1, api_key="sek")
+        try:
+            resp = await rclient.post(
+                "/search?namespace=ns", json={"query": [1.0] * 8, "top_k": 1}
+            )
+            assert resp.status == 401
+            resp = await rclient.get("/storage/info")
+            assert resp.status == 401
+            # /health stays open for load-balancer probes
+            resp = await rclient.get("/health")
+            assert resp.status in (200, 503)
+            # correct bearer passes through
+            resp = await rclient.put(
+                "/vectors/batch?namespace=ns",
+                json={"vectors": [{"values": [1.0] * 8, "metadata": {}}]},
+                headers={"Authorization": "Bearer sek"},
+            )
+            assert resp.status == 200
+        finally:
+            await _teardown(clients, rclient)
+
+    asyncio.run(runner())
+
+
+def test_router_batch_search_fanout_merges_exactly(small_config, rng):
+    async def runner():
+        qps, clients, rclient, router = await _spin_cluster(small_config, 2)
+        try:
+            vecs = [
+                {"values": rng.standard_normal(8).astype(float).tolist(), "metadata": {}}
+                for _ in range(60)
+            ]
+            body = await (await rclient.put(
+                "/vectors/batch?namespace=ns", json={"vectors": vecs}
+            )).json()
+            ids = body["ids"]
+            # batch of 4 queries: each row's global top-1 is the stored vector itself
+            queries = [vecs[i]["values"] for i in (3, 17, 29, 41)]
+            resp = await rclient.post(
+                "/search/batch?namespace=ns",
+                json={"queries": queries, "top_k": 3, "metric": "l2"},
+            )
+            assert resp.status == 200
+            rows = await resp.json()
+            assert len(rows) == 4
+            for row, qi in zip(rows, (3, 17, 29, 41)):
+                assert row[0]["id"] == ids[qi]
+                assert row[0]["score"] == pytest.approx(0.0, abs=1e-5)
+                assert [r["score"] for r in row] == sorted(r["score"] for r in row)
+
+            # /query/knn fan-out returns the documented envelope, globally merged
+            resp = await rclient.post(
+                "/query/knn",
+                json={"vector": vecs[5]["values"], "k": 3, "metric": "l2",
+                      "namespace": "ns"},
+            )
+            assert resp.status == 200
+            env = await resp.json()
+            assert env["query_type"] == "knn" and env["total_results"] == 3
+            assert env["results"][0]["id"] == ids[5]
+
+            # /warmup broadcast reaches every backend
+            resp = await rclient.post("/warmup?namespace=ns")
+            assert resp.status == 200
+            env = await resp.json()
+            assert env["backends_warmed"] == 2
+        finally:
+            await _teardown(clients, rclient)
+
+    asyncio.run(runner())
+
+
+def test_router_delete_count_exact_under_divergence(small_config, rng):
+    """Divergent replicas each holding ids the other lacks: the union of removed ids
+    must count BOTH (the old max() heuristic under-counted this edge)."""
+    async def runner():
+        qps, clients, rclient, router = await _spin_cluster(small_config, 2, replicas=2)
+        try:
+            from mlvectordb_tpu.interfaces.vector import VectorDTO
+
+            va, vb = uuid.uuid4(), uuid.uuid4()
+            # inject divergence directly into the backends, bypassing the router
+            qps[0].upsert_many([VectorDTO(np.ones(8, np.float32), {}, id=va)], "ns")
+            qps[1].upsert_many([VectorDTO(np.zeros(8, np.float32), {}, id=vb)], "ns")
+            resp = await rclient.delete(
+                "/vectors?namespace=ns", json={"ids": [str(va), str(vb)]}
+            )
+            body = await resp.json()
+            assert body["message"] == "2 vectors deleted", body
+        finally:
+            await _teardown(clients, rclient)
+
+    asyncio.run(runner())
+
+
+def test_router_repair_respects_delete_tombstones(small_config, rng):
+    """A delete that reached only some owners must be FINISHED by repair, not
+    resurrected by presence-wins merging (ADVICE r2)."""
+    async def runner():
+        qps, clients, rclient, router = await _spin_cluster(small_config, 2, replicas=2)
+        try:
+            body = await (await rclient.put(
+                "/vectors/batch?namespace=ns",
+                json={"vectors": [
+                    {"values": rng.standard_normal(8).astype(float).tolist(), "metadata": {}}
+                    for _ in range(10)
+                ]},
+            )).json()
+            vid = uuid.UUID(body["ids"][0])
+            straggler = router.backends[(vid.int % 2 + 1) % 2]
+            # the non-primary owner misses the delete (simulated outage)
+            import time as _t
+
+            router._down_until[straggler] = _t.monotonic() + 1000.0
+            resp = await rclient.delete("/vectors?namespace=ns", json={"ids": [str(vid)]})
+            assert (await resp.json())["status"] == "success"
+            router._down_until.pop(straggler)  # backend comes back, still holding vid
+
+            assert sum(qp.storage.read(vid, "ns") is not None for qp in qps) == 1
+            rep = await (await rclient.post("/reconcile?namespace=ns&repair=1")).json()
+            assert rep["consistent"] is False  # divergence detected
+            assert rep["repaired_vectors"] >= 1
+            # the delete was finished, not resurrected
+            assert all(qp.storage.read(vid, "ns") is None for qp in qps)
+            rep2 = await (await rclient.post("/reconcile?namespace=ns")).json()
+            assert rep2["consistent"] is True
+        finally:
+            await _teardown(clients, rclient)
+
+    asyncio.run(runner())
