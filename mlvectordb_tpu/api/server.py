@@ -63,12 +63,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="fsync every WAL record (survives host power loss, slower writes)",
     )
     p.add_argument(
+        "--wal-checkpoint-mb",
+        type=int,
+        default=256,
+        help="WAL-only mode (no --snapshot): snapshot into <wal>/checkpoint and prune "
+        "segments when the log exceeds this many MB, bounding replay time and disk "
+        "(0 = never; ignored when --snapshot is set — snapshots already prune)",
+    )
+    p.add_argument(
         "--snapshot-interval",
         type=float,
         default=0.0,
         help="Seconds between automatic snapshots to --snapshot dir (0 = disabled)",
     )
     p.add_argument("--no-pallas", action="store_true", help="Force the pure-XLA backend")
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="Pin the JAX backend (site config may override JAX_PLATFORMS; this flag "
+        "wins because it is applied via jax.config after import)",
+    )
     p.add_argument(
         "--auto-batch",
         action="store_true",
@@ -101,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.reload:
         logging.getLogger("vector_db_api").warning(
             "--reload accepted for parity but ignored (no hot reload)"
@@ -114,8 +133,12 @@ def main(argv=None) -> None:
         use_pallas=not args.no_pallas,
     )
     if args.snapshot or args.wal:
+        ckpt_bytes = None
+        if args.wal and not args.snapshot and args.wal_checkpoint_mb > 0:
+            ckpt_bytes = args.wal_checkpoint_mb << 20
         qp = QueryProcessor.load(
-            args.snapshot or "", config, wal_path=args.wal, wal_fsync=args.wal_fsync
+            args.snapshot or "", config, wal_path=args.wal, wal_fsync=args.wal_fsync,
+            wal_checkpoint_bytes=ckpt_bytes,
         )
     else:
         qp = QueryProcessor(config=config)

@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Large-but-finite sentinel for masked slots. +inf breaks top_k index selection on some
 # backends; 3.0e38 is comfortably above any real squared distance while finite in f32.
-MASKED = jnp.float32(3.0e38)
-_EPS = jnp.float32(1e-30)
+# numpy scalars, NOT jnp: a module-level jnp constant initializes the JAX backend at
+# import time, which pins the platform before callers (server --platform, tests) can
+# override it via jax.config.
+MASKED = np.float32(3.0e38)
+_EPS = np.float32(1e-30)
 
 
 def query_norms(q: jax.Array) -> jax.Array:
