@@ -86,6 +86,50 @@ def available() -> bool:
     return load() is not None
 
 
+# ------------------------------------------------------------------ _hydrate extension
+
+_hydrate_mod = None
+_hydrate_failed = False
+_hydrate_lock = threading.Lock()
+
+
+def _hydrate_so_path() -> Optional[str]:
+    import sysconfig
+
+    ext = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    return os.path.join(_NATIVE_DIR, "build", f"_hydrate{ext}")
+
+
+def hydrate_module():
+    """The _hydrate CPython extension (native/hydrate.c), auto-built on first use;
+    None when no toolchain is available (callers keep the pure-Python path)."""
+    global _hydrate_mod, _hydrate_failed
+    if _hydrate_mod is not None or _hydrate_failed:
+        return _hydrate_mod
+    with _hydrate_lock:
+        if _hydrate_mod is not None or _hydrate_failed:
+            return _hydrate_mod
+        so = _hydrate_so_path()
+        if not os.path.exists(so) and not _build():
+            _hydrate_failed = True
+            return None
+        if not os.path.exists(so):  # toolchain built metafilter but not the extension
+            _hydrate_failed = True
+            return None
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location("_hydrate", so)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        except Exception as e:  # pragma: no cover - ABI mismatch etc.
+            logger.warning("native _hydrate load failed: %s", e)
+            _hydrate_failed = True
+            return None
+        _hydrate_mod = mod
+        return _hydrate_mod
+
+
 class MetaColumns:
     """Slot-aligned columnar metadata mirror living in the native library.
 

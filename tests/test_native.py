@@ -183,3 +183,91 @@ def test_set_many_matches_individual_sets():
     b = make_store(metas)
     for spec in ({"grp": "x"}, {"i": {"$gte": 5}}, {"i": 3}):
         np.testing.assert_array_equal(a.eval(spec), b.eval(spec))
+
+
+# ------------------------------------------------------------------ _hydrate extension
+
+
+def test_hydrate_build_rows_parity_and_isolation():
+    """native/hydrate.c builds the same result rows as the pure-Python fast path,
+    copies metadata (mutating a result must not leak into the store tables), and
+    flags rows nulled by a delete-after-snapshot."""
+    mod = native.hydrate_module()
+    if mod is None:  # pragma: no cover
+        pytest.skip("hydrate extension not buildable here")
+    import uuid
+
+    n_slots = 32
+    ids = [uuid.uuid4() for _ in range(n_slots)]
+    vals = [np.arange(4, dtype=np.float32) + i for i in range(n_slots)]
+    metas = [{"i": i} if i % 3 == 0 else ({} if i % 3 == 1 else None)
+             for i in range(n_slots)]
+    slots = [5, 0, 9, 31, 5]
+    scores = [0.5, 1.0, -2.0, 3.25, 0.0]
+
+    def python_rows(fs, fu):
+        return [
+            {"id": ids[s], "values": vals[s],
+             "metadata": dict(m) if (m := metas[s]) else {}, "score": sc}
+            for s, sc in zip(fs, fu)
+        ]
+
+    # list inputs
+    rows, dropping = mod.build_rows(ids, vals, metas, slots, scores)
+    want = python_rows(slots, scores)
+    assert dropping == 0
+    assert len(rows) == len(want)
+    for r, w in zip(rows, want):
+        assert r["id"] is w["id"] and r["values"] is w["values"]
+        assert r["metadata"] == w["metadata"] and r["score"] == w["score"]
+
+    # numpy buffer inputs, int32/float32 and int64/float64
+    for sdt, fdt in ((np.int32, np.float32), (np.int64, np.float64)):
+        rows2, _ = mod.build_rows(
+            ids, vals, metas, np.asarray(slots, sdt), np.asarray(scores, fdt)
+        )
+        assert [r["id"] for r in rows2] == [w["id"] for w in want]
+        assert [r["score"] for r in rows2] == pytest.approx([w["score"] for w in want])
+
+    # metadata isolation: mutating a returned row cannot touch the table
+    rows[0]["metadata"]["injected"] = True
+    assert "injected" not in (metas[5] or {})
+    # two rows hydrating the same slot get independent metadata dicts
+    assert rows[0]["metadata"] is not rows[4]["metadata"]
+
+    # delete-after-snapshot: nulled table entries flip the dropping flag
+    ids[9] = None
+    _rows, dropping = mod.build_rows(ids, vals, metas, slots, scores)
+    assert dropping == 1
+
+    # slot out of range is an error, not a crash
+    with pytest.raises(IndexError):
+        mod.build_rows(ids, vals, metas, [n_slots], [0.0])
+
+
+def test_hydrate_batch_native_matches_python(rng):
+    """End-to-end: _hydrate_batch with the native extension returns exactly what the
+    pure-Python fallback returns."""
+    from unittest import mock
+
+    from mlvectordb_tpu import QueryProcessor, VectorDTO
+    from mlvectordb_tpu.config import EngineConfig
+
+    if native.hydrate_module() is None:  # pragma: no cover
+        pytest.skip("hydrate extension not buildable here")
+    qp = QueryProcessor(config=EngineConfig(use_pallas=False))
+    qp.upsert_many(
+        [VectorDTO(rng.standard_normal(16).astype(np.float32), {"i": i})
+         for i in range(200)],
+        "ns",
+    )
+    q = VectorDTO(rng.standard_normal(16).astype(np.float32))
+    got_native = qp.find_similar(q, top_k=7, namespace="ns", metric="l2")
+    qp._result_cache.clear()  # the repeat query must re-hydrate, not hit the cache
+    with mock.patch(
+        "mlvectordb_tpu.engine.query_processor._hydrate_native", return_value=None
+    ):
+        got_python = qp.find_similar(q, top_k=7, namespace="ns", metric="l2")
+    assert [r["id"] for r in got_native] == [r["id"] for r in got_python]
+    assert [r["score"] for r in got_native] == [r["score"] for r in got_python]
+    assert [r["metadata"] for r in got_native] == [r["metadata"] for r in got_python]
