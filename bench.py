@@ -15,8 +15,9 @@ bytes, candidate scoring is exact f32 at HIGHEST precision.
 Honesty rules:
   * recall@10 is verified against the f32 numpy oracle BEFORE timing; any mismatch
     aborts with exit 1 — exactness is a precondition of the number, not an aspiration.
-  * the headline is the MEDIAN of 5 independent timing runs (each itself an
-    RTT-cancelled on-device measurement, benchmarks/timing.py); all 5 are printed.
+  * the headline is the MEDIAN of 9 independent timing runs after a discarded warmup
+    (each itself an RTT-cancelled on-device measurement, benchmarks/timing.py); all 9
+    and their max/min spread are printed.
   * engine_qps (the full QueryProcessor.find_similar_batch path) is reported next to
     the kernel number with the gap itemized (through the shared axon relay each engine
     call pays a ~28 ms host<->device round trip that co-located serving would not).
@@ -56,9 +57,12 @@ def numpy_brute_qps(db: np.ndarray, queries: np.ndarray, k: int, iters: int = 3)
     return len(queries) / dt
 
 
-def median_device_time(fn, args, runs: int = 5, iters: int = 12):
+def median_device_time(fn, args, runs: int = 9, iters: int = 12):
+    """Median of ``runs`` independent RTT-cancelled device timings, discarding one
+    warmup run first (VERDICT r2 #4: driver-reproducible medians, spread printed)."""
     from benchmarks.timing import device_seconds_per_call
 
+    device_seconds_per_call(fn, args, iters=max(2, iters // 4))  # warmup, discarded
     ts = sorted(device_seconds_per_call(fn, args, iters=iters) for _ in range(runs))
     return statistics.median(ts), ts
 
@@ -71,7 +75,7 @@ def main() -> int:
     from mlvectordb_tpu.engine.query_processor import QueryProcessor
     from mlvectordb_tpu.interfaces.vector import VectorDTO
     from mlvectordb_tpu.ops.backend import knn_backend
-    from mlvectordb_tpu.ops.pallas_knn_t import to_sweep_layout
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms, to_sweep_layout
 
     N, D, K = 1 << 20, 128, 10
     B = 128
@@ -95,11 +99,15 @@ def main() -> int:
     sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     db_t = to_sweep_layout(db, dtype=jnp.bfloat16) if on_tpu else None
+    # mixed f32-store/bf16-sweep: the per-row rounding norms feed the kernel's
+    # exactness certificate (tight bound -> the fast tier certifies)
+    db_err = sweep_err_norms(db) if on_tpu else None
     q = jnp.asarray(q_np)
 
     def search(qq, dd, vv, ss, ddt=None, k=K):
         return backend(qq, dd, vv, ss, k=k, metric="l2", db_tile=config.db_tile,
-                       live_prefix=N, data_t=ddt)
+                       live_prefix=N, data_t=ddt,
+                       sweep_err=db_err if ddt is not None else None)
 
     # ---- recall gate: engine vs numpy oracle must agree exactly -------------------
     log("verifying recall@10 == 1.0 against f32 numpy oracle ...")
@@ -130,8 +138,10 @@ def main() -> int:
             return search(qq, dd, valid, ss, None)
     t_med, runs = median_device_time(kern_fn, kern_args)
     kernel_qps = B / t_med
+    spread = runs[-1] / runs[0]
     log(f"kernel: {t_med*1e3:.3f} ms / {B} queries = {kernel_qps:,.0f} QPS/chip "
-        f"(runs ms: {', '.join(f'{x*1e3:.2f}' for x in runs)})")
+        f"(median of {len(runs)}, spread {spread:.2f}x, "
+        f"runs ms: {', '.join(f'{x*1e3:.2f}' for x in runs)})")
 
     # latency-oriented batch
     q8 = jnp.asarray(q_np[:8])
@@ -215,7 +225,7 @@ def main() -> int:
     log(f"numpy baseline: {base_qps:,.1f} QPS")
 
     print(json.dumps({
-        "metric": "SIFT1M-shape exact kNN k=10 QPS/chip (recall@10=1.0, f32 store + bf16 sweep, median of 5)",
+        "metric": "SIFT1M-shape exact kNN k=10 QPS/chip (recall@10=1.0, f32 store + bf16 sweep, median of 9)",
         "value": round(kernel_qps, 1),
         "unit": "qps",
         "vs_baseline": round(kernel_qps / base_qps, 2),
@@ -225,6 +235,7 @@ def main() -> int:
         "batch512_qps": round(512 / t_512, 1),
         "batch8_latency_ms": round(t_lat * 1e3, 3),
         "runs_ms": [round(x * 1e3, 3) for x in runs],
+        "spread": round(spread, 2),
     }))
     return 0
 

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--b", type=int, default=128)
     ap.add_argument("--k", type=int, default=1000)
     ap.add_argument("--dtype", choices=("f32", "bf16"), default="bf16")
+    ap.add_argument(
+        "--rescan-dtype", choices=("f32", "bf16"), default="f32",
+        help="store/rescan matrix dtype (bf16 = the suite's DEEP-10M config; also "
+        "halves device memory so 2^23 rows fit alongside the sweep mirror)",
+    )
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -41,11 +46,12 @@ def main():
     db_np = rng.standard_normal((N, D), dtype=np.float32)
     q_np = rng.standard_normal((B, D), dtype=np.float32)
 
-    db32 = jnp.asarray(db_np)
+    store_dt = jnp.bfloat16 if args.rescan_dtype == "bf16" else jnp.float32
+    db32 = jnp.asarray(db_np, store_dt)
     from mlvectordb_tpu.ops import pallas_knn_t as _p
     sweep_t = _p.to_sweep_layout(
-        jnp.asarray(db_np), dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
-    sq = jnp.sum(db32 * db32, axis=-1)
+        db32, dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+    sq = jnp.sum(db32.astype(jnp.float32) ** 2, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     q = jnp.asarray(q_np)
 
@@ -88,8 +94,11 @@ def main():
             continue
 
         def p1_fn(qq, ddt, sr, _r1=r1):
-            qh = (-2.0 * qq).astype(ddt.dtype)
-            return pkt._window_mins(qh, ddt, None, sr,
+            qf = -2.0 * qq
+            qh = qf.astype(ddt.dtype)
+            qres = (qf - qh.astype(np.float32)).astype(ddt.dtype) \
+                if ddt.dtype == jnp.bfloat16 else None
+            return pkt._window_mins(qh, qres, ddt, None, sr,
                                     q_tile=min(pkt.Q_TILE, B), g=pkt.R1MAX // _r1)
         bench(f"phase1-only r1={r1}", p1_fn, [q, sweep_t, srow],
               N * D * sw_bytes + B * (N // r1) * 4)
@@ -121,7 +130,7 @@ def main():
                 wmin3 = wm.reshape(B, W2, 32)
                 wmin2 = wmin3.min(-1)
                 s2 = min(min(2 * K, K + 16), W2)
-                v, i = _pk._topk_small(wmin2, s2)
+                v, i, _fl = _pk._topk_spec(wmin2, s2)
                 return v.sum()[None]
             bench(f"sel2 lvl2+topk r1={r1}", seltk_fn, [q, wbase], B * P * 4)
 
@@ -131,10 +140,10 @@ def main():
                 wmin3 = wm.reshape(B, W2, 32)
                 wmin2 = wmin3.min(-1)
                 s2 = min(min(2 * K, K + 16), W2)
-                _, w2i = _pk._topk_small(wmin2, s2)
+                _, w2i, _fl = _pk._topk_spec(wmin2, s2)
                 l1 = _pk._flat_rows(wmin3, w2i).reshape(B, s2 * 32)
                 s1 = min(min(2 * K, K + 16), s2 * 32)
-                v, pos = _pk._topk_small(l1, s1)
+                v, pos, _fl2 = _pk._topk_spec(l1, s1)
                 return v.sum()[None]
             bench(f"sel2 +blk+topk r1={r1}", selblk_fn, [q, wbase], B * P * 4)
 

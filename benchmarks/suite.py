@@ -33,16 +33,21 @@ def main() -> int:
     import jax.numpy as jnp
 
     from benchmarks.timing import device_seconds_per_call
-    from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t, to_sweep_layout
+    from mlvectordb_tpu.ops.pallas_knn_t import (
+        exact_knn_pallas_t,
+        sweep_err_norms,
+        to_sweep_layout,
+    )
     from mlvectordb_tpu.ops.topk import exact_knn
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None):
-        # the serving configuration: transposed sweep mirror + f32 rescan
+    def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None, derr=None):
+        # the serving configuration: transposed sweep mirror + f32 rescan; ``derr``
+        # carries the rounding norms for MIXED configs (certificate fast tier)
         if on_tpu and ddt is not None:
             return exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=k, metric=metric,
-                                      live_prefix=live_prefix)
+                                      live_prefix=live_prefix, sweep_err=derr)
         return exact_knn(qq, dd, vv, ss, k=k, metric=metric, db_tile=4096)
 
     rng = np.random.default_rng(42)
@@ -73,6 +78,7 @@ def main() -> int:
     db_np = sift
     db = jnp.asarray(db_np)
     db_t = to_sweep_layout(db, dtype=jnp.bfloat16)
+    db_err = sweep_err_norms(db)  # mixed config: certificate rounding norms
     sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     qs_np = np.zeros((B, 128), np.float32)
@@ -86,7 +92,8 @@ def main() -> int:
         + (qs_np ** 2).sum(-1)[:, None]
     )
     i_or10 = np.argpartition(d_or, 10, axis=1)[:, :10]
-    _, i_eng = backend(q, db, valid, sq, k=10, metric="l2", live_prefix=N, ddt=db_t)
+    _, i_eng = backend(q, db, valid, sq, k=10, metric="l2", live_prefix=N, ddt=db_t,
+                       derr=db_err)
     i_eng = np.asarray(i_eng)
     recall = np.mean([
         len(set(i_eng[b].tolist()) & set(i_or10[b].tolist())) / 10 for b in range(B)
@@ -99,7 +106,8 @@ def main() -> int:
     for K in (10, 100, 1000):
         t = device_seconds_per_call(
             lambda qq, ddt, dd, vv, ss, _k=K: backend(
-                qq, dd, vv, ss, k=_k, metric="l2", live_prefix=N, ddt=ddt
+                qq, dd, vv, ss, k=_k, metric="l2", live_prefix=N, ddt=ddt,
+                derr=db_err,
             ),
             [q, db_t, db, valid, sq], iters=8,
         )
@@ -109,7 +117,7 @@ def main() -> int:
     # range query: top-limit + threshold (limit=1000 path)
     t = device_seconds_per_call(
         lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=1000, metric="l2",
-                                            live_prefix=N, ddt=ddt),
+                                            live_prefix=N, ddt=ddt, derr=db_err),
         [q[:8], db_t, db, valid, sq], iters=6,
     )
     log(f"{ds['name']} range(limit=1000): {t*1e3:.3f} ms/batch-8")
@@ -173,7 +181,8 @@ def main() -> int:
     mask[::2] = False  # 50% selectivity filter mask
     vmask = jnp.asarray(mask)
     # recall gate for the MASKED path too: filtered oracle over the surviving rows
-    _, i_hy = backend(q[:16], db, vmask, sq, k=10, metric="cosine", live_prefix=None, ddt=db_t)
+    _, i_hy = backend(q[:16], db, vmask, sq, k=10, metric="cosine", live_prefix=None,
+                        ddt=db_t, derr=db_err)
     i_hy = np.asarray(i_hy)
     qs16 = qs_np[:16]
     dots = qs16 @ db_np.T
@@ -190,7 +199,7 @@ def main() -> int:
     assert bool(mask[np.asarray(i_hy).ravel()].all()), "filtered-out row leaked into results"
     t = device_seconds_per_call(
         lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
-                                            live_prefix=None, ddt=ddt),
+                                            live_prefix=None, ddt=ddt, derr=db_err),
         [q, db_t, db, vmask, sq], iters=8,
     )
     log(f"GloVe-shape cosine hybrid (50% filter): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")

@@ -445,6 +445,7 @@ class QueryProcessor:
                     jnp.asarray(q_pad), state.data, valid, state.sq_norms,
                     k=kb, metric=metric, db_tile=self.config.db_tile,
                     live_prefix=live_prefix, data_t=state.data_t,
+                    sweep_err=state.sweep_err,
                 )
         # ONE device->host transfer for both arrays: through the axon relay every
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately

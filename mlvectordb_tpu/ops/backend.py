@@ -19,7 +19,7 @@ _warned = False
 
 
 def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None,
-                  data_t=None):
+                  data_t=None, sweep_err=None):
     return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
 
 
@@ -34,13 +34,14 @@ def knn_backend(config: EngineConfig):
             from .pallas_knn_t import exact_knn_pallas_t
 
             def tpu_backend(q, data, valid, sq_norms, *, k, metric, db_tile,
-                            live_prefix=None, data_t=None):
+                            live_prefix=None, data_t=None, sweep_err=None):
                 # transposed sweep mirror present (config.sweep_dtype): roofline path —
                 # phase 1 reads data_t, the exact rescan reads the row-major store
                 if data_t is not None:
                     return exact_knn_pallas_t(
                         q, data_t, data, valid, sq_norms,
                         k=k, metric=metric, live_prefix=live_prefix,
+                        sweep_err=sweep_err,
                     )
                 return exact_knn_pallas(
                     q, data, valid, sq_norms,

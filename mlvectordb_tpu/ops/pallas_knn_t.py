@@ -97,6 +97,14 @@ def sweep_rows_1d(vec: jax.Array, shard_cap: int | None = None) -> jax.Array:
     return vec.reshape(s, nt, WLANE, R1MAX).swapaxes(-1, -2).reshape(cap)
 
 
+def sweep_err_norms(data: jax.Array) -> jax.Array:
+    """Per-row ``||row - bf16(row)||`` norms for MIXED f32-store/bf16-sweep configs —
+    feeds the exactness certificate's tight data-side error bound (see _fused_t)."""
+    d32 = data.astype(jnp.float32)
+    delta = d32 - d32.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+
+
 def sweep_cols_for_rows(rows, shard_cap: int | None = None):
     """Store rows -> sweep mirror columns (vectorized int arithmetic; np or jnp)."""
     if shard_cap is not None:
@@ -116,16 +124,21 @@ def _phase1_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
-def _sweep_kernel(g: int, use_scale: bool):
+def _sweep_kernel(g: int, use_scale: bool, two_pass: bool):
     """rank = dots [* scale_row] + bias_row, then grouped window-min over lane slices.
 
     bias_row carries everything per-row (l2 sq_norms, tombstone/filter mask, unwritten
     tail) in sweep column order, so the kernel has no branches at all.  Group a of the
     output covers fine windows (t*WLANE + j)*g + a == store rows [f*r1, (f+1)*r1).
+
+    ``two_pass``: compensated query for bf16 sweeps — the folded query is split into
+    a bf16 head + bf16 residual and both are dotted against the resident block
+    (second matmul reads the block from VMEM, not HBM), eliminating the query-side
+    rounding term from the exactness certificate at no bandwidth cost.
     """
     r1 = R1MAX // g
 
-    def kernel(q_ref, db_ref, scale_ref, bias_ref, out_ref):
+    def kernel(q_ref, qr_ref, db_ref, scale_ref, bias_ref, out_ref):
         dots = jax.lax.dot_general(
             q_ref[:],
             db_ref[:],
@@ -133,6 +146,14 @@ def _sweep_kernel(g: int, use_scale: bool):
             precision=_phase1_precision(db_ref.dtype),
             preferred_element_type=jnp.float32,
         )  # [Bt, T]
+        if two_pass:
+            dots = dots + jax.lax.dot_general(
+                qr_ref[:],
+                db_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=_phase1_precision(db_ref.dtype),
+                preferred_element_type=jnp.float32,
+            )
         rank = dots
         if use_scale:
             rank = rank * scale_ref[:]
@@ -147,17 +168,20 @@ def _sweep_kernel(g: int, use_scale: bool):
     return kernel
 
 
-def _window_mins(qh, data_t, scale_row, bias_row, *, q_tile, g):
-    """qh [B, Dp] (metric factor pre-folded), data_t [Dp, cap] sweep layout ->
-    window-min positions [B, cap // (R1MAX//g)]."""
+def _window_mins(qh, qres, data_t, scale_row, bias_row, *, q_tile, g):
+    """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
+    None), data_t [Dp, cap] sweep layout -> window-min positions
+    [B, cap // (R1MAX//g)]."""
     Dp, cap = data_t.shape
     B = qh.shape[0]
     out_w = g * WLANE
+    two_pass = qres is not None
     grid = (cap // SWEEP_TILE, B // q_tile)  # db outermost: one HBM sweep total
     return pl.pallas_call(
-        _sweep_kernel(g, scale_row is not None),
+        _sweep_kernel(g, scale_row is not None, two_pass),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((q_tile, Dp), lambda di, qi: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_tile, Dp), lambda di, qi: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Dp, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
@@ -169,13 +193,19 @@ def _window_mins(qh, data_t, scale_row, bias_row, *, q_tile, g):
         out_shape=jax.ShapeDtypeStruct((B, (cap // SWEEP_TILE) * out_w), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * cap * Dp,
+            flops=2 * B * cap * Dp * (2 if two_pass else 1),
             bytes_accessed=cap * Dp * data_t.dtype.itemsize
             + B * (cap // SWEEP_TILE) * out_w * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(qh, data_t, scale_row if scale_row is not None else bias_row, bias_row)
+    )(
+        qh,
+        qres if qres is not None else qh,
+        data_t,
+        scale_row if scale_row is not None else bias_row,
+        bias_row,
+    )
 
 
 # ------------------------------------------------------------------ phase 2 selection
@@ -190,25 +220,48 @@ def _pos_to_window(p, g: int):
     return (t * WLANE + j) * g + a
 
 
-def _topk_small(x, kk: int):
-    """(values, idx) of the kk SMALLEST entries per row of x [B, W].
+def _topk_spec(x, kk: int):
+    """(values, idx, floor) of kk smallest entries per row of x [B, W].
 
-    For wide inputs at large k, XLA's top_k degrades to ~0.07 ms per 1024 lanes
-    (measured); chunking into 2048-wide top_k's and merging once is ~3x faster at
-    [B, 32768] k~1000."""
+    XLA top_k cost grows ~W*k, so wide selections run CHUNKED: per-chunk top-kc with
+    a SMALL speculative kc (expected chunk occupancy + slack), then one narrow merge.
+    Speculation can miss elements when a chunk holds more than kc of the global
+    top-kk; ``floor`` [B] makes that SOUND for the exactness certificate: every
+    element NOT returned is >= min(floor, values[:, -1]) — floor is the min over
+    chunks of each chunk's kc-th smallest (+inf on the exact paths, where nothing
+    below values[:, -1] can be missing).  A genuine miss drops floor below the
+    certificate's bar and escalates the tier instead of returning a wrong result."""
     B, W = x.shape
-    if kk > 256 and W > 8192 and W % 2048 == 0:
-        nch = W // 2048
-        kc = min(kk, 2048)
-        v, i = jax.lax.top_k(-x.reshape(B * nch, 2048), kc)
-        v = v.reshape(B, nch, kc).reshape(B, nch * kc)
-        iglob = (
-            i.reshape(B, nch, kc) + (jnp.arange(nch, dtype=jnp.int32) * 2048)[None, :, None]
-        ).reshape(B, nch * kc)
-        v2, p = jax.lax.top_k(v, kk)
-        return -v2, jnp.take_along_axis(iglob, p, axis=1)
-    neg, i = jax.lax.top_k(-x, kk)
-    return -neg, i
+    CH = 2048
+    if W <= max(kk, 4096):
+        neg, i = jax.lax.top_k(-x, min(kk, W))
+        return -neg, i, jnp.full((B,), jnp.inf, jnp.float32)
+
+    Wp = -(-W // CH) * CH
+    pad = Wp - W
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    nch = Wp // CH
+    if kk <= 64:
+        kc = min(kk, CH)   # exact per chunk: no chunk can hold >kk of the top-kk
+    else:
+        import math
+
+        occupancy = kk // nch + 4 * math.isqrt(max(kk // nch, 1)) + 16
+        guarantee = (kk + pad + nch - 1) // nch  # merged real candidates >= kk
+        kc = min(CH, max(occupancy, guarantee))
+    v, i = jax.lax.top_k(-x.reshape(B * nch, CH), kc)
+    vch = (-v).reshape(B, nch, kc)
+    iglob = (
+        i.reshape(B, nch, kc) + (jnp.arange(nch, dtype=jnp.int32) * CH)[None, :, None]
+    ).reshape(B, nch * kc)
+    neg2, p = jax.lax.top_k(-vch.reshape(B, nch * kc), kk)
+    idx = jnp.minimum(jnp.take_along_axis(iglob, p, axis=1), W - 1)
+    if kc < kk:  # speculative: unreturned elements are >= their chunk's kc-th
+        floor = jnp.min(vch[:, :, -1], axis=1)
+    else:
+        floor = jnp.full((B,), jnp.inf, jnp.float32)
+    return -neg2, idx, floor
 
 
 def _flat_rows(mat3, idx):
@@ -222,26 +275,62 @@ def _flat_rows(mat3, idx):
     return flat[gidx.reshape(-1)].reshape(B, idx.shape[1], C)
 
 
-def _select_and_rescan(q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked):
-    """Hierarchical window selection + exact HIGHEST rescan of contiguous windows."""
+def _select_and_rescan(
+    q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None
+):
+    """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
+
+    Returns ``(best_d, best_i, thresh)`` where ``thresh`` [B] is the selection
+    threshold: every fine window NOT rescanned has (as-computed) window-min >= thresh.
+    +inf when every window was rescanned.  The certificate in ``_fused_t`` compares
+    ``thresh`` against the k-th found distance to prove no true neighbour was pruned.
+    ``s_sel`` overrides the number of windows selected (the certificate escalation
+    tiers pass wider widths)."""
     B, P = wmin.shape
     g = R1MAX // r1
-    s = min(min(2 * k, k + 16), P)
+    s = min(s_sel if s_sel is not None else min(2 * k, k + 16), P)
 
     if P % R2 == 0 and P // R2 > 1:
+        # two-level: min-reduce to R2-blocks first — XLA top_k cost is dominated by
+        # per-row width, so shrinking W 32x before the exact top_k is the cheap path
         W2 = P // R2
         wmin3 = wmin.reshape(B, W2, R2)
         wmin2 = wmin3.min(axis=-1)                        # [B, W2]
         s2 = min(s, W2)
-        _, w2i = _topk_small(wmin2, s2)                   # [B, s2]
-        l1_vals = _flat_rows(wmin3, w2i).reshape(B, s2 * R2)
+        v2, w2i = jax.lax.top_k(-wmin2, s2)
+        v2, w2i = -v2, w2i
+        # gather the selected blocks' fine windows.  128B rows gather at ~3 GB/s
+        # (overhead-bound); 512B rows at ~100-148 GB/s (round-3 gather probe) — so
+        # fetch 4-block SUPER-rows and slice the wanted block on-chip.  Sorted ids
+        # add locality (+40% on top).
+        w2i = jnp.sort(w2i, axis=1)
+        G = 4
+        if W2 % G == 0:
+            sup = w2i // G
+            mat = wmin.reshape(B * (W2 // G), G * R2)
+            gidx = sup + (jnp.arange(B, dtype=sup.dtype) * (W2 // G))[:, None]
+            rows4 = mat[gidx.reshape(-1)].reshape(B, s2, G, R2)
+            l1_vals = jnp.take_along_axis(
+                rows4, (w2i % G)[:, :, None, None], axis=2
+            ).reshape(B, s2 * R2)
+        else:
+            l1_vals = _flat_rows(wmin3, w2i).reshape(B, s2 * R2)
         s1 = min(s, s2 * R2)
-        _, pos = _topk_small(l1_vals, s1)                 # [B, s1]
+        v1, pos, floor = _topk_spec(l1_vals, s1)
         w2sel = jnp.take_along_axis(w2i, pos // R2, axis=1)
         p = w2sel * R2 + pos % R2                         # output positions
+        # unselected blocks >= s2-th block-min; unselected windows inside selected
+        # blocks >= min(s1-th value, speculative floor)
+        thresh = jnp.full((B,), jnp.inf, jnp.float32)
+        if s2 < W2:
+            thresh = jnp.minimum(thresh, v2[:, -1])
+        if s1 < s2 * R2:
+            thresh = jnp.minimum(thresh, v1[:, -1])
+        thresh = jnp.minimum(thresh, floor)
     else:
         s1 = min(s, P)
-        _, p = _topk_small(wmin, s1)
+        v1, p, floor = _topk_spec(wmin, s1)
+        thresh = floor if s1 >= P else jnp.minimum(v1[:, -1], floor)
 
     f = _pos_to_window(p, g)                              # [B, s1] fine windows
     cap, Dp = rescan.shape
@@ -281,13 +370,16 @@ def _select_and_rescan(q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1,
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=float(MASKED))
         best_i = jnp.pad(best_i, ((0, 0), (0, k - kk)))
-    return best_d, best_i
+    return best_d, best_i, thresh
 
 
 # ------------------------------------------------------------------ fused program
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "r1", "masked", "q_tile"))
-def _fused_t(q, data_t, rescan, valid, sq_norms, hw, *, k, metric, r1, masked, q_tile):
+def _fused_t(
+    q, data_t, rescan, valid, sq_norms, hw, sweep_err=None,
+    *, k, metric, r1, masked, q_tile,
+):
     """The whole search — prep, sweep, selection, rescan — as ONE dispatched program."""
     Dp, cap = data_t.shape
     g = R1MAX // r1
@@ -302,21 +394,105 @@ def _fused_t(q, data_t, rescan, valid, sq_norms, hw, *, k, metric, r1, masked, q
     bias = (sqn + maskadd) if metric == "l2" else maskadd
     bias_row = sweep_rows_1d(bias).reshape(1, cap)
 
+    bf_sweep = data_t.dtype == jnp.bfloat16
     if metric == "l2":
-        qh = (-2.0 * q32).astype(data_t.dtype)
+        q_fold = -2.0 * q32
         scale_row = None
     elif metric == "ip":
-        qh = (-q32).astype(data_t.dtype)
+        q_fold = -q32
         scale_row = None
     else:  # cosine: rank by -dots/|d| (+mask); 1/|q| is a per-query constant, dropped
-        qh = (-q32).astype(data_t.dtype)
+        q_fold = -q32
         scale_row = sweep_rows_1d(jax.lax.rsqrt(jnp.maximum(sqn, 1e-30))).reshape(1, cap)
 
-    wmin = _window_mins(qh, data_t, scale_row, bias_row, q_tile=q_tile, g=g)
-    return _select_and_rescan(
-        q32, qn_row[:, None], rescan, maskadd, hw, wmin,
-        k=k, metric=metric, r1=r1, masked=masked,
-    )
+    # compensated query for bf16 sweeps: qh + qres represents q_fold to ~2^-18
+    # relative, so the certificate's query-rounding term vanishes (the second VMEM
+    # matmul costs MXU time only — the HBM stream is unchanged)
+    qh = q_fold.astype(data_t.dtype)
+    qres = (q_fold - qh.astype(jnp.float32)).astype(data_t.dtype) if bf_sweep else None
+
+    wmin = _window_mins(qh, qres, data_t, scale_row, bias_row, q_tile=q_tile, g=g)
+
+    # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
+    # bound when phase 1 ranks on rounded inputs).  Every fine window NOT rescanned
+    # has as-computed window-min >= thresh, hence true min rank >= thresh - E: if
+    # thresh - E >= the k-th FOUND rank, no pruned window can hold a closer row and
+    # the result is provably exact.  Failure escalates: 4x wider selection (reusing
+    # the same wmin — selection and rescan only), then the streaming exact scan.
+    # Correctness never depends on the empirical margin; the tiers only set how fast
+    # the common case is.
+    #
+    # E terms (rank space):
+    #   * query side: eliminated by the compensated split above (residual ~2^-18).
+    #   * data side: phase-1 reads data_t, the rescan reads ``rescan`` — when their
+    #     dtypes MATCH there is no representational mismatch at all; when the sweep
+    #     is a bf16 mirror of an f32 store, |qh . delta_d| <= |qh| * e_row with
+    #     e_row = ||row - bf16(row)|| — ``sweep_err`` carries the measured norms
+    #     (maintained by the store like sq_norms), a ~sqrt(D) tighter SOUND bound
+    #     than the worst-case elementwise estimate.  Without sweep_err we fall back
+    #     to the worst case (2^-9 relative per element) and a wider tier-1.
+    #   * f32 accumulation slack on both sides: <= Dp * 2^-24 * |qh||d| per dot;
+    #     2^-13 covers Dp <= 512 with 4x headroom.
+    q_l2 = jnp.sqrt(qn_row)                               # [B]
+    qh_l2 = q_l2 * (2.0 if metric == "l2" else 1.0)       # |q_fold|
+    live = maskadd < 1.0
+    maxd = jnp.sqrt(jnp.max(jnp.where(live, sqn, 0.0)))
+    slack = (2.0 ** -13) * qh_l2 * (1.0 if metric == "cosine" else maxd)
+    mixed = bf_sweep and rescan.dtype != data_t.dtype
+    if not mixed:
+        err = slack
+    elif sweep_err is not None:
+        if metric == "cosine":
+            max_e = jnp.max(jnp.where(
+                live, sweep_err * jax.lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0))
+        else:
+            max_e = jnp.max(jnp.where(live, sweep_err, 0.0))
+        err = qh_l2 * max_e + slack
+    else:  # worst-case elementwise bound; tier-1 widens to compensate
+        err = (2.0 ** -9) * qh_l2 * (1.0 if metric == "cosine" else maxd) + slack
+
+    def certify(best_d, thresh):
+        kth = best_d[:, k - 1]
+        if metric == "l2":
+            kth_rank = kth - qn_row                       # dist = qn + rank
+        elif metric == "ip":
+            kth_rank = kth - 1.0                          # dist = 1 + rank
+        else:
+            kth_rank = (kth - 1.0) * q_l2                 # dist = 1 + rank/|q|
+        kth_real = kth < float(MASKED) / 2
+        return jnp.all(jnp.where(kth_real, thresh - err >= kth_rank, False))
+
+    def tier(s_sel):
+        d, i, th = _select_and_rescan(
+            q32, qn_row[:, None], rescan, maskadd, hw, wmin,
+            k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
+        )
+        return d, i, certify(d, th)
+
+    # tier-1 width: the margin above k must scale with k because window-min quantile
+    # spacing tightens deeper into the distance distribution (~0.03 rank units per
+    # window at k~100, N=1M gaussian — so the k+16 gap over the k-th rank shrinks to
+    # ~0.1 while the tight-E band is ~0.35 for mixed-bf16 and ~0.04 for same-dtype).
+    # Measured (BASELINE.md round 3): k+16+k//2 certifies mixed-bf16 at k=10..100;
+    # k+16+k//8 certifies same-dtype/f32; the worst-case mixed bound needs ~2.5k.
+    if mixed and sweep_err is None:
+        s1 = max(64, 2 * k + 48)
+    elif mixed:
+        s1 = min(2 * k, k + 16 + k // 2)
+    else:
+        s1 = min(2 * k, k + 16 + k // 8)
+
+    d1, i1, ok1 = tier(s1)
+
+    def exact_fallback(_):
+        return exact_knn(q32, rescan, valid, sqn, k=k, metric=metric,
+                         db_tile=SWEEP_TILE)
+
+    def tier2(_):
+        d2, i2, ok2 = tier(4 * s1)
+        return jax.lax.cond(ok2, lambda _: (d2, i2), exact_fallback, operand=None)
+
+    return jax.lax.cond(ok1, lambda _: (d1, i1), tier2, operand=None)
 
 
 # ------------------------------------------------------------------ public entry
@@ -328,12 +504,18 @@ def _pick_r1(batch: int, n_rows: int, k: int) -> int:
     (B*N*4/r1 bytes must stay bounded)."""
     if k <= 16:
         r1 = 32
-    elif k <= 64:
+    elif k <= 128:
+        # measured (benchmarks/explore_select, N=1M k=100): r1=16 57.5K QPS vs
+        # r1=8 40.7K — the contiguous window rescan makes the wider window cheaper
+        # than the larger window-min matrix
         r1 = 16
     elif k <= 256:
         r1 = 8
     else:
-        r1 = 4
+        # large k: selection width s scales with k, so rescan bytes are s*r1 rows —
+        # narrow windows halve the gather; the certificate margin is r1-independent
+        # (window-min tail quantiles barely move between r1=1..4, measured)
+        r1 = 2
     while r1 < R1MAX and batch * n_rows * 4 // r1 > (1 << 31):  # cap wmin at 2 GB
         r1 *= 2
     return r1
@@ -351,12 +533,17 @@ def exact_knn_pallas_t(
     db_tile: int = SWEEP_TILE,   # kept for signature compat; the layout fixes the tile
     live_prefix: int | None = None,
     r1_override: int | None = None,
+    sweep_err: jax.Array | None = None,
 ):
     """Window-major sweep exact kNN; same results contract as ops.topk.exact_knn.
 
     ``data_t`` MUST be in the window-major sweep layout (``to_sweep_layout``); the
     store maintains it incrementally via ``sweep_cols_for_rows`` scatters.  Falls back
     to the row-major scan for shapes the fused path does not cover.
+
+    ``sweep_err``: [cap] f32 per-row ``||row - bf16(row)||`` norms for MIXED configs
+    (f32 rescan + bf16 sweep mirror) — tightens the exactness certificate's error
+    bound ~sqrt(D)x so the fast tier certifies at the k+16 margin (see _fused_t).
     """
     Dp, cap = data_t.shape
     B = q.shape[0]
@@ -375,6 +562,6 @@ def exact_knn_pallas_t(
     masked = live_prefix is None
     hw = jnp.int32(cap if masked else live_prefix)
     return _fused_t(
-        q, data_t, rescan_data, valid, sq_norms, hw,
+        q, data_t, rescan_data, valid, sq_norms, hw, sweep_err,
         k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w,
     )

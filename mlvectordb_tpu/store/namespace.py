@@ -50,6 +50,10 @@ class DeviceState(NamedTuple):
     # Optional transposed sweep mirror [dpad, cap] in config.sweep_dtype: phase-1 of
     # the roofline kernel (ops/pallas_knn_t.py) reads this; rescan/hydration read data.
     data_t: Optional[jax.Array] = None
+    # Mixed f32-store/bf16-sweep configs: per-row ||row - bf16(row)|| norms [cap] f32,
+    # feeding the kernel's exactness certificate (tight sound bound on phase-1 rank
+    # error; see ops/pallas_knn_t._fused_t).
+    sweep_err: Optional[jax.Array] = None
     # Host slot tables (ids, metadata, values) captured at publish time.  Hydration of
     # store-slot results MUST read all three from here — one atomic tuple — never from
     # the store's live attributes: compact() replaces the three lists wholesale, so a
@@ -87,6 +91,15 @@ def _scatter_cols_t(data_t, cols, vals):
 
 
 @jax.jit
+def _scatter_sweep_err(err, slots, vals):
+    """Maintain per-row ||row - bf16(row)|| for the kernel's exactness certificate
+    (mixed f32-store/bf16-sweep configs only)."""
+    v32 = vals.astype(jnp.float32)
+    delta = v32 - v32.astype(jnp.bfloat16).astype(jnp.float32)
+    return err.at[slots].set(jnp.sqrt(jnp.sum(delta * delta, axis=-1)))
+
+
+@jax.jit
 def _clear_slots(valid, slots):
     """Device-side delete: tombstone = mask clear (copy-on-write)."""
     return valid.at[slots].set(False)
@@ -120,6 +133,7 @@ class NamespaceStore:
         self._valid: Optional[jax.Array] = None
         self._sq_norms: Optional[jax.Array] = None
         self._data_t: Optional[jax.Array] = None  # transposed sweep mirror (config.sweep_dtype)
+        self._sweep_err: Optional[jax.Array] = None  # [cap] bf16-rounding norms (mixed config)
         # atomically-published snapshot tuple: readers must never assemble a state from
         # the individual attributes (a concurrent growth could interleave generations)
         self._state: Optional[DeviceState] = None
@@ -198,6 +212,7 @@ class NamespaceStore:
             }
             self._data = self._valid = self._sq_norms = None
             self._data_t = None  # cheap to rebuild from data on restore
+            self._sweep_err = None
             self._state = None   # readers route through ensure_resident
             return True
 
@@ -208,6 +223,7 @@ class NamespaceStore:
         self._valid = jnp.asarray(host["valid"])
         self._sq_norms = jnp.asarray(host["sq_norms"])
         self._data_t = self._build_mirror()
+        self._sweep_err = self._build_sweep_err()
 
     def ensure_resident(self) -> bool:
         """Page an offloaded namespace back into HBM (no-op when resident)."""
@@ -225,8 +241,10 @@ class NamespaceStore:
         self._state = DeviceState(
             self._data, self._valid, self._sq_norms,
             self._high_water, len(self._id_to_slot),
-            self._data_t,
-            (self._slot_ids, self._slot_meta, self._slot_values) if self.host_mirror else None,
+            data_t=self._data_t,
+            sweep_err=self._sweep_err,
+            host_tables=(self._slot_ids, self._slot_meta, self._slot_values)
+            if self.host_mirror else None,
         )
 
     # ------------------------------------------------------------------ allocation
@@ -258,6 +276,14 @@ class NamespaceStore:
 
         return cap >= SWEEP_TILE and cap % SWEEP_TILE == 0
 
+    def _mixed_sweep(self) -> bool:
+        """True for the f32-store + bf16-sweep config (the only one with a phase-1 /
+        rescan representation mismatch — maintains _sweep_err for the certificate)."""
+        return (
+            self._storage_dtype() == jnp.float32
+            and self._sweep_dtype() == jnp.bfloat16
+        )
+
     def _build_mirror(self):
         """(Re)build the window-major sweep mirror from the current device matrix."""
         sdt = self._sweep_dtype()
@@ -266,6 +292,14 @@ class NamespaceStore:
         from ..ops.pallas_knn_t import to_sweep_layout
 
         return to_sweep_layout(self._data, dtype=sdt)
+
+    def _build_sweep_err(self):
+        """Per-row bf16-rounding norms matching the mirror, or None when not mixed."""
+        if self._data_t is None or not self._mixed_sweep():
+            return None
+        d32 = self._data.astype(jnp.float32)
+        delta = d32 - d32.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.sqrt(jnp.sum(delta * delta, axis=-1))
 
     def _mirror_cols(self, slots: np.ndarray) -> np.ndarray:
         """Store slots -> sweep-layout mirror columns (host-side arithmetic)."""
@@ -283,6 +317,8 @@ class NamespaceStore:
             self._sq_norms = jnp.zeros((new_cap,), jnp.float32)
             if sdt is not None and self._mirror_ok(new_cap):
                 self._data_t = jnp.zeros((self.dpad, new_cap), sdt)
+                if self._mixed_sweep():
+                    self._sweep_err = jnp.zeros((new_cap,), jnp.float32)
         else:
             grow = new_cap - self.capacity
             old_cap = self.capacity
@@ -294,10 +330,14 @@ class NamespaceStore:
                     # window-major layout is tile-local: whole appended tiles extend
                     # the column axis without disturbing existing tiles
                     self._data_t = jnp.pad(self._data_t, ((0, 0), (0, grow)))
+                    if self._sweep_err is not None:
+                        self._sweep_err = jnp.pad(self._sweep_err, (0, grow))
                 else:
                     self._data_t = self._build_mirror()  # first eligible capacity
+                    self._sweep_err = self._build_sweep_err()
             else:
                 self._data_t = None
+                self._sweep_err = None
 
     def _grow_host_tables(self, new_cap: int) -> None:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
@@ -405,6 +445,8 @@ class NamespaceStore:
                 self._data_t = _scatter_cols_t(
                     self._data_t, jnp.asarray(self._mirror_cols(slots)), vals_j
                 )
+                if self._sweep_err is not None:
+                    self._sweep_err = _scatter_sweep_err(self._sweep_err, slots_j, vals_j)
             self.version += 1
             self._publish()
 
@@ -467,6 +509,8 @@ class NamespaceStore:
                 self._data_t = _scatter_cols_t(
                     self._data_t, jnp.asarray(self._mirror_cols(slots)), vals_j
                 )
+                if self._sweep_err is not None:
+                    self._sweep_err = _scatter_sweep_err(self._sweep_err, slots_j, vals_j)
             self.version += 1
             self._publish()
             return list(ids)

@@ -166,3 +166,36 @@ def test_chunked_topk_path_is_exact(rng):
     da, ia = exact_knn(q, db, valid, sq, k=300, metric="l2", db_tile=DB_TILE)
     for b in range(4):
         assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+
+
+def test_bf16_sweep_exact_on_tightly_clustered_data(rng):
+    """Adversarial for the phase-1 selection margin (ADVICE r2): tightly clustered
+    points make bf16 window ranks nearly tied everywhere, so a too-small margin would
+    drop true neighbours.  Ties make index sets ambiguous, so the gate is on
+    distances: every returned row's true f32 distance must be <= the oracle's k-th
+    distance (+f32 eps), and the sorted score vectors must match."""
+    K = 10
+    centers = (rng.standard_normal((8, D)).astype(np.float32) * 0.05)
+    assign = rng.integers(0, 8, N)
+    db_np = (centers[assign] + rng.standard_normal((N, D)).astype(np.float32) * 1e-3)
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q_np = (centers[rng.integers(0, 8, 8)]
+            + rng.standard_normal((8, D)).astype(np.float32) * 1e-3)
+    q = jnp.asarray(q_np)
+    valid = jnp.ones((N,), jnp.bool_)
+
+    dp, ipx = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=K, metric="l2", live_prefix=N,
+    )
+    dp, ipx = np.asarray(dp), np.asarray(ipx)
+
+    d_or = ((q_np[:, None, :] - db_np[None, :, :]) ** 2).sum(-1)
+    kth = np.sort(d_or, axis=1)[:, K - 1]
+    for b in range(8):
+        true_d = d_or[b, ipx[b]]
+        assert (true_d <= kth[b] + 1e-5).all(), (b, true_d, kth[b])
+        np.testing.assert_allclose(
+            np.sort(dp[b]), np.sort(d_or[b])[:K], rtol=1e-4, atol=1e-5
+        )
