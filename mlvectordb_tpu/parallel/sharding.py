@@ -92,13 +92,18 @@ class ShardingManager:
     @functools.partial(
         jax.jit, static_argnames=("self", "k", "metric", "db_tile")
     )
-    def sharded_knn(self, q, data, valid, sq_norms, data_t=None, *, k, metric, db_tile=8192):
+    def sharded_knn(
+        self, q, data, valid, sq_norms, data_t=None, sweep_err=None,
+        *, k, metric, db_tile=8192,
+    ):
         """Exact kNN over the sharded database.
 
         q [B, D] (replica-sharded), data [cap, D] / valid [cap] / sq_norms [cap]
         (shard-sharded); optional data_t [D, cap] transposed sweep mirror (sharded on
         its column axis) — per-shard search then runs the roofline transposed kernel
         (ops/pallas_knn_t.py) with the row-major shard as its exact rescan source.
+        ``sweep_err`` [cap] (shard-sharded) carries the mixed-config rounding norms so
+        each shard's exactness certificate runs with the tight bound.
         Returns (dist [B, k], idx [B, k]) with GLOBAL slot indices, replica-sharded
         like q.
         """
@@ -116,6 +121,7 @@ class ShardingManager:
                 d, i = exact_knn_pallas_t(
                     q_loc, rest[0], data_loc, valid_loc, sqn_loc,
                     k=kk, metric=metric,
+                    sweep_err=rest[1] if len(rest) > 1 else None,
                 )
             else:
                 from ..ops.pallas_knn import exact_knn_pallas
@@ -149,6 +155,9 @@ class ShardingManager:
         if data_t is not None:
             in_specs.append(P(None, SHARD_AXIS))  # mirror columns follow the rows' shard
             args.append(data_t)
+            if sweep_err is not None:
+                in_specs.append(P(SHARD_AXIS))
+                args.append(sweep_err)
         return shard_map(
             local,
             mesh=self.mesh,

@@ -92,6 +92,12 @@ class ShardedNamespaceStore(NamespaceStore):
             self.sharding.db_sharding_2d_t(),
         )
 
+    def _build_sweep_err(self):
+        err = super()._build_sweep_err()
+        if err is None:
+            return None
+        return jax.device_put(err, self.sharding.db_sharding())
+
     def _mirror_cols(self, slots):
         from ..ops.pallas_knn_t import sweep_cols_for_rows
 
@@ -116,6 +122,8 @@ class ShardedNamespaceStore(NamespaceStore):
             self._sq_norms = jax.device_put(jnp.zeros((total,), jnp.float32), spec1d)
             if sdt is not None and self._mirror_ok(total):
                 self._data_t = jax.device_put(jnp.zeros((self.dpad, total), sdt), spec2d_t)
+                if self._mixed_sweep():
+                    self._sweep_err = jax.device_put(jnp.zeros((total,), jnp.float32), spec1d)
         else:
             old = self.shard_capacity
             old_total = old * self.n_shards
@@ -137,8 +145,13 @@ class ShardedNamespaceStore(NamespaceStore):
                 else:
                     self.shard_capacity = per_shard  # _build_mirror reads it
                     self._data_t = self._build_mirror()
+                # the per-row rounding norms grow with the data: cheapest correct
+                # move is one rebuild pass (err derives purely from self._data)
+                self.shard_capacity = per_shard
+                self._sweep_err = self._build_sweep_err()
             else:
                 self._data_t = None
+                self._sweep_err = None
             # remap host tables: slot shard*old+local -> shard*new+local
             remap = {}
             for vid, slot in self._id_to_slot.items():
@@ -261,6 +274,7 @@ class ShardedNamespaceStore(NamespaceStore):
                     self._data.astype(jnp.float32) ** 2, axis=-1
                 )
                 self._data_t = self._build_mirror()
+                self._sweep_err = self._build_sweep_err()
                 self.version += 1
                 self._publish()
             return report
@@ -276,6 +290,6 @@ class ShardedNamespaceStore(NamespaceStore):
         state = self.device_state()
         valid = state.valid if valid_override is None else valid_override
         return self.sharding.sharded_knn(
-            q, state.data, valid, state.sq_norms, state.data_t,
+            q, state.data, valid, state.sq_norms, state.data_t, state.sweep_err,
             k=k, metric=metric, db_tile=self.config.db_tile,
         )
