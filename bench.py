@@ -63,7 +63,13 @@ def median_device_time(fn, args, runs: int = 9, iters: int = 12):
     from benchmarks.timing import device_seconds_per_call
 
     device_seconds_per_call(fn, args, iters=max(2, iters // 4))  # warmup, discarded
-    ts = sorted(device_seconds_per_call(fn, args, iters=iters) for _ in range(runs))
+    ts = []
+    for _ in range(runs):
+        t = device_seconds_per_call(fn, args, iters=iters)
+        if t <= 2e-9:  # relay noise made the differenced signal vanish: remeasure once
+            t = device_seconds_per_call(fn, args, iters=iters)
+        ts.append(t)
+    ts = sorted(ts)
     return statistics.median(ts), ts
 
 

@@ -42,12 +42,15 @@ def main() -> int:
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None, derr=None):
+    def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None, derr=None,
+                certify=True):
         # the serving configuration: transposed sweep mirror + f32 rescan; ``derr``
-        # carries the rounding norms for MIXED configs (certificate fast tier)
+        # carries the rounding norms for MIXED configs (certificate fast tier);
+        # certify=False = margin-based mode (EngineConfig.certify_exact=False)
         if on_tpu and ddt is not None:
             return exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=k, metric=metric,
-                                      live_prefix=live_prefix, sweep_err=derr)
+                                      live_prefix=live_prefix, sweep_err=derr,
+                                      certify=certify)
         return exact_knn(qq, dd, vv, ss, k=k, metric=metric, db_tile=4096)
 
     rng = np.random.default_rng(42)
@@ -113,6 +116,29 @@ def main() -> int:
         )
         log(f"{ds['name']} l2 k={K}: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
         emit(f"sift1m_l2_k{K}_qps", B / t, "qps", batch=B, n=N, dataset=ds["name"])
+
+    # margin-based mode (certify_exact=False): the round-2 contract — exactness via
+    # the empirical margin, gated here on recall (clustered corpora escalate the
+    # certificate by design, so serving may opt into this trade)
+    _, i_nc = backend(q, db, valid, sq, k=10, metric="l2", live_prefix=N, ddt=db_t,
+                      derr=db_err, certify=False)
+    i_nc = np.asarray(i_nc)
+    recall_nc = np.mean([
+        len(set(i_nc[b].tolist()) & set(i_or10[b].tolist())) / 10 for b in range(B)
+    ])
+    log(f"{ds['name']} margin-mode recall@10 gate: {recall_nc}")
+    emit("sift1m_margin_mode_recall_at_10", recall_nc, "recall", dataset=ds["name"])
+    assert recall_nc == 1.0, f"margin-mode recall broke on {ds['name']}: {recall_nc}"
+    for K in (10, 100):
+        t = device_seconds_per_call(
+            lambda qq, ddt, dd, vv, ss, _k=K: backend(
+                qq, dd, vv, ss, k=_k, metric="l2", live_prefix=N, ddt=ddt,
+                derr=db_err, certify=False,
+            ),
+            [q, db_t, db, valid, sq], iters=8,
+        )
+        log(f"{ds['name']} l2 k={K} margin-mode: {t*1e3:.3f} ms = {B/t:,.0f} QPS")
+        emit(f"sift1m_l2_k{K}_margin_mode_qps", B / t, "qps", batch=B, n=N)
 
     # range query: top-limit + threshold (limit=1000 path)
     t = device_seconds_per_call(

@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-pallas", action="store_true", help="Force the pure-XLA backend")
     p.add_argument(
+        "--no-certify",
+        action="store_true",
+        help="Disable the per-query exactness certificate: return the fast selection "
+        "tier unconditionally (exactness then rests on the empirical margin + the "
+        "benchmark recall gates — faster on tightly clustered corpora)",
+    )
+    p.add_argument(
         "--platform",
         default=None,
         choices=["cpu", "tpu"],
@@ -131,6 +138,7 @@ def main(argv=None) -> None:
         default_metric=canonical_metric(args.metric),
         db_tile=args.db_tile,
         use_pallas=not args.no_pallas,
+        certify_exact=not args.no_certify,
     )
     if args.snapshot or args.wal:
         ckpt_bytes = None

@@ -97,6 +97,16 @@ class EngineConfig:
     # elsewhere (CPU simulation, interpret mode).
     use_pallas: bool = True
 
+    # Exactness certificate (ops/pallas_knn_t._fused_t): every bf16-sweep search
+    # proves on device that no pruned window can hold a true neighbour, escalating to
+    # wider selection / a full exact scan when the proof fails.  True (default) =
+    # machine-checked exactness on EVERY query; on tightly clustered corpora whose
+    # neighbour gaps sit below the bf16 error band this escalates by design (the
+    # proof is the product).  False = return the fast tier unconditionally: exactness
+    # then rests on the empirical selection margin + the benchmark recall gates
+    # (the round-2 contract) — a documented speed/proof trade.
+    certify_exact: bool = True
+
     # Query-result cache entries (0 disables).  Keyed by namespace version, so any
     # mutation invalidates implicitly.  Realizes the result caching the reference README
     # advertises but never shipped (SURVEY.md §0.1).

@@ -33,6 +33,8 @@ def knn_backend(config: EngineConfig):
             from .pallas_knn import exact_knn_pallas
             from .pallas_knn_t import exact_knn_pallas_t
 
+            certify = config.certify_exact
+
             def tpu_backend(q, data, valid, sq_norms, *, k, metric, db_tile,
                             live_prefix=None, data_t=None, sweep_err=None):
                 # transposed sweep mirror present (config.sweep_dtype): roofline path —
@@ -41,7 +43,7 @@ def knn_backend(config: EngineConfig):
                     return exact_knn_pallas_t(
                         q, data_t, data, valid, sq_norms,
                         k=k, metric=metric, live_prefix=live_prefix,
-                        sweep_err=sweep_err,
+                        sweep_err=sweep_err, certify=certify,
                     )
                 return exact_knn_pallas(
                     q, data, valid, sq_norms,

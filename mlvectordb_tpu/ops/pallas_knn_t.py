@@ -375,10 +375,12 @@ def _select_and_rescan(
 
 # ------------------------------------------------------------------ fused program
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "r1", "masked", "q_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "r1", "masked", "q_tile", "certify")
+)
 def _fused_t(
     q, data_t, rescan, valid, sq_norms, hw, sweep_err=None,
-    *, k, metric, r1, masked, q_tile,
+    *, k, metric, r1, masked, q_tile, certify=True,
 ):
     """The whole search — prep, sweep, selection, rescan — as ONE dispatched program."""
     Dp, cap = data_t.shape
@@ -437,7 +439,9 @@ def _fused_t(
     qh_l2 = q_l2 * (2.0 if metric == "l2" else 1.0)       # |q_fold|
     live = maskadd < 1.0
     maxd = jnp.sqrt(jnp.max(jnp.where(live, sqn, 0.0)))
-    slack = (2.0 ** -13) * qh_l2 * (1.0 if metric == "cosine" else maxd)
+    # worst-case f32 accumulation: <= Dp * 2^-24 relative to |qh||d| per dot, on both
+    # the phase-1 and rescan sides; 4x headroom
+    slack = (Dp * 2.0 ** -22) * qh_l2 * (1.0 if metric == "cosine" else maxd)
     mixed = bf_sweep and rescan.dtype != data_t.dtype
     if not mixed:
         err = slack
@@ -483,6 +487,12 @@ def _fused_t(
         s1 = min(2 * k, k + 16 + k // 8)
 
     d1, i1, ok1 = tier(s1)
+    if not certify:
+        # margin-based mode (EngineConfig.certify_exact=False): return the fast tier
+        # unconditionally.  Exactness then rests on the empirical selection margin +
+        # the recall gates, exactly the round-2 contract — a documented speed/proof
+        # trade for tightly clustered corpora where the certificate must escalate.
+        return d1, i1
 
     def exact_fallback(_):
         return exact_knn(q32, rescan, valid, sqn, k=k, metric=metric,
@@ -534,6 +544,7 @@ def exact_knn_pallas_t(
     live_prefix: int | None = None,
     r1_override: int | None = None,
     sweep_err: jax.Array | None = None,
+    certify: bool = True,
 ):
     """Window-major sweep exact kNN; same results contract as ops.topk.exact_knn.
 
@@ -563,5 +574,5 @@ def exact_knn_pallas_t(
     hw = jnp.int32(cap if masked else live_prefix)
     return _fused_t(
         q, data_t, rescan_data, valid, sq_norms, hw, sweep_err,
-        k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w,
+        k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w, certify=certify,
     )
