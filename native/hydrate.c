@@ -100,13 +100,45 @@ build_rows(PyObject *Py_UNUSED(self), PyObject *args)
         goto fail;
     int dropping = 0;
 
+    /* At 1M-row namespaces the slot tables span megabytes of pointer arrays, so the
+     * three random reads per row are cache-miss bound (~1 us/row measured).  With a
+     * contiguous slots buffer the upcoming rows' table entries are known: prefetch
+     * them a few iterations ahead to overlap the misses. */
+#define PF_DIST 8
+#if defined(__GNUC__) || defined(__clang__)
+#define PF(addr) __builtin_prefetch((addr), 0, 1)
+#else
+#define PF(addr) ((void)0)
+#endif
+
     for (Py_ssize_t i = 0; i < n; i++) {
         long long slot;
-        if (slots.is_buf)
+        if (slots.is_buf) {
             slot = slots.itemsize == 8
                        ? ((const long long *)slots.view.buf)[i]
                        : (long long)((const int *)slots.view.buf)[i];
-        else {
+            if (i + PF_DIST < n) {
+                long long ns = slots.itemsize == 8
+                                   ? ((const long long *)slots.view.buf)[i + PF_DIST]
+                                   : (long long)((const int *)slots.view.buf)[i + PF_DIST];
+                if (ns >= 0 && ns < (long long)n_slots) {
+                    PF(&((PyListObject *)ids)->ob_item[ns]);
+                    PF(&((PyListObject *)vals)->ob_item[ns]);
+                    PF(&((PyListObject *)metas)->ob_item[ns]);
+                }
+            }
+            /* pull the pointed-to objects' headers in too (one step behind) */
+            if (i + PF_DIST / 2 < n) {
+                long long ms = slots.itemsize == 8
+                                   ? ((const long long *)slots.view.buf)[i + PF_DIST / 2]
+                                   : (long long)((const int *)slots.view.buf)[i + PF_DIST / 2];
+                if (ms >= 0 && ms < (long long)n_slots) {
+                    PF(PyList_GET_ITEM(ids, ms));
+                    PF(PyList_GET_ITEM(vals, ms));
+                    PF(PyList_GET_ITEM(metas, ms));
+                }
+            }
+        } else {
             slot = PyLong_AsLongLong(PyList_GET_ITEM(slots.list, i));
             if (slot == -1 && PyErr_Occurred())
                 goto fail;
