@@ -455,7 +455,7 @@ def _fused_t(
     else:  # worst-case elementwise bound; tier-1 widens to compensate
         err = (2.0 ** -9) * qh_l2 * (1.0 if metric == "cosine" else maxd) + slack
 
-    def certify(best_d, thresh):
+    def check_exact(best_d, thresh):  # NB: must not shadow the `certify` param
         kth = best_d[:, k - 1]
         if metric == "l2":
             kth_rank = kth - qn_row                       # dist = qn + rank
@@ -471,7 +471,7 @@ def _fused_t(
             q32, qn_row[:, None], rescan, maskadd, hw, wmin,
             k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
         )
-        return d, i, certify(d, th)
+        return d, i, check_exact(d, th)
 
     # tier-1 width: the margin above k must scale with k because window-min quantile
     # spacing tightens deeper into the distance distribution (~0.03 rank units per
@@ -495,8 +495,10 @@ def _fused_t(
         return d1, i1
 
     def exact_fallback(_):
+        # wide tiles: the scan backend's cost is fold-count-bound (top_k per tile),
+        # so 32K-row tiles make the in-program fallback ~6x cheaper than 4K tiles
         return exact_knn(q32, rescan, valid, sqn, k=k, metric=metric,
-                         db_tile=SWEEP_TILE)
+                         db_tile=8 * SWEEP_TILE)
 
     def tier2(_):
         d2, i2, ok2 = tier(4 * s1)
