@@ -479,7 +479,11 @@ def _fused_t(
     # ~0.1 while the tight-E band is ~0.35 for mixed-bf16 and ~0.04 for same-dtype).
     # Measured (BASELINE.md round 3): k+16+k//2 certifies mixed-bf16 at k=10..100;
     # k+16+k//8 certifies same-dtype/f32; the worst-case mixed bound needs ~2.5k.
-    if mixed and sweep_err is None:
+    if not certify:
+        # margin mode returns tier-1 unconditionally: no point paying the certified
+        # widths — the round-2 empirical margin is the contract here
+        s1 = min(2 * k, k + 16)
+    elif mixed and sweep_err is None:
         s1 = max(64, 2 * k + 48)
     elif mixed:
         s1 = min(2 * k, k + 16 + k // 2)
