@@ -230,6 +230,14 @@ def main() -> int:
     )
     log(f"GloVe-shape cosine hybrid (50% filter): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("glove_cosine_hybrid_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)
+    t = device_seconds_per_call(
+        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
+                                            live_prefix=None, ddt=ddt, derr=db_err,
+                                            certify=False),
+        [q, db_t, db, vmask, sq], iters=8,
+    )
+    log(f"GloVe hybrid margin-mode: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
+    emit("glove_cosine_hybrid_margin_mode_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)
 
     # ---------------- DEEP-10M shape: bf16 (config #4, single-chip portion) ---------
     N2 = 1 << (18 if args.quick else 23)  # 8.4M rows x 128 lanes bf16 = 2 GB
