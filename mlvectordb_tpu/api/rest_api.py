@@ -301,6 +301,8 @@ class RestAPI:
         r.add_post("/namespaces/restore", self.restore_namespace)
         # bucketed content fingerprints: the router's cross-node reconcile primitive
         r.add_get("/fingerprint", self.fingerprint)
+        # in-mesh replica verification/repair (distributed engines: --mesh-shards)
+        r.add_post("/mesh/reconcile", self.mesh_reconcile)
         # observability: engine spans + on-demand device profiling (SURVEY.md §5.1)
         r.add_get("/trace", self.get_trace)
         r.add_get("/metrics", self.get_metrics)
@@ -514,6 +516,38 @@ class RestAPI:
             return _json(await self._run(self._fingerprint_sync, ns, buckets))
         except Exception as e:
             return _error(f"Fingerprint failed: {e}", 500)
+
+    async def mesh_reconcile(self, request: web.Request) -> web.Response:
+        """In-mesh replica verification/repair for distributed engines.
+
+        Requires a processor built by make_distributed_processor (server CLI
+        --mesh-shards); 409 otherwise.  Verifies per-replica content fingerprints on
+        device; with ?repair=1, divergence re-broadcasts the majority replica's rows
+        over the replica axis and republishes atomically
+        (ShardedNamespaceStore.reconcile_and_repair)."""
+        rm = getattr(self.query_processor, "replication_manager", None)
+        if rm is None:
+            return _error("engine is not distributed (start with --mesh-shards)", 409)
+        ns_name = request.query.get("namespace", "default")
+        repair = request.query.get("repair") in ("1", "true", "yes")
+
+        def run():
+            ns = self.query_processor.storage.namespace(ns_name)
+            if ns is None:
+                raise KeyError(ns_name)
+            if repair:
+                return ns.reconcile_and_repair(rm)
+            state = ns.device_state()
+            if state is None:
+                return {"consistent": True, "repaired": False}
+            return rm.reconcile(state.data, state.valid)
+
+        try:
+            return _json(await self._run(run))
+        except KeyError:
+            return _error(f"Namespace '{ns_name}' not found", 404)
+        except Exception as e:
+            return _error(f"Mesh reconcile failed: {e}", 500)
 
     async def health(self, request: web.Request) -> web.Response:
         # plain: constant-time liveness (parity with reference rest_api.py:292-296);

@@ -85,6 +85,21 @@ def build_parser() -> argparse.ArgumentParser:
         "benchmark recall gates — faster on tightly clustered corpora)",
     )
     p.add_argument(
+        "--mesh-shards",
+        type=int,
+        default=0,
+        help="Serve a DISTRIBUTED engine: shard every namespace over this many chips "
+        "of the jax.sharding.Mesh (0 = single-device engine).  Combine with "
+        "--mesh-replicas for replica groups; POST /mesh/reconcile verifies/repairs "
+        "replica consistency on device",
+    )
+    p.add_argument(
+        "--mesh-replicas",
+        type=int,
+        default=1,
+        help="Replica groups over the mesh's 'replica' axis (with --mesh-shards)",
+    )
+    p.add_argument(
         "--platform",
         default=None,
         choices=["cpu", "tpu"],
@@ -140,10 +155,23 @@ def main(argv=None) -> None:
         use_pallas=not args.no_pallas,
         certify_exact=not args.no_certify,
     )
-    if args.snapshot or args.wal:
-        ckpt_bytes = None
-        if args.wal and not args.snapshot and args.wal_checkpoint_mb > 0:
-            ckpt_bytes = args.wal_checkpoint_mb << 20
+    ckpt_bytes = None
+    if args.wal and not args.snapshot and args.wal_checkpoint_mb > 0:
+        ckpt_bytes = args.wal_checkpoint_mb << 20
+    if args.mesh_shards:
+        # distributed serving: every namespace shards over the mesh; durability via
+        # WAL replay (mutations re-apply through the engine, which shards them).
+        # Snapshot restore materializes single-device stores, so it is refused here.
+        if args.snapshot:
+            build_parser().error("--snapshot is not supported with --mesh-shards yet; "
+                                 "use --wal for durability")
+        from ..parallel import make_distributed_processor
+
+        qp = make_distributed_processor(args.mesh_replicas, args.mesh_shards, config)
+        if args.wal:
+            qp.replay_wal(args.wal)
+            qp.enable_wal(args.wal, fsync=args.wal_fsync, checkpoint_bytes=None)
+    elif args.snapshot or args.wal:
         qp = QueryProcessor.load(
             args.snapshot or "", config, wal_path=args.wal, wal_fsync=args.wal_fsync,
             wal_checkpoint_bytes=ckpt_bytes,

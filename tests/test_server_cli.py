@@ -144,3 +144,58 @@ def test_server_cli_snapshot_wal_grpc_roundtrip(tmp_path):
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_server_cli_mesh_mode(tmp_path):
+    """--mesh-shards serves a distributed engine (simulated 8-device CPU mesh in the
+    subprocess) with the in-mesh /mesh/reconcile verification surface."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "mlvectordb_tpu.api.server",
+            "--host", "127.0.0.1", "--port", str(port),
+            "--mesh-shards", "4", "--mesh-replicas", "2",
+            "--no-pallas", "--platform", "cpu", "--log-level", "warning",
+        ],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
+    )
+    try:
+        _wait_healthy(port, proc)
+        rng = np.random.default_rng(5)
+        vecs = [{"values": rng.standard_normal(8).astype(float).tolist()}
+                for _ in range(24)]
+        status, body = _req(port, "/vectors/batch?namespace=m", {"vectors": vecs}, "PUT")
+        assert status == 200
+        ids = body["ids"]
+        status, results = _req(
+            port, "/search?namespace=m",
+            {"query": vecs[3]["values"], "top_k": 2, "metric": "l2"},
+        )
+        assert status == 200 and results[0]["id"] == ids[3]
+
+        status, rep = _req(port, "/mesh/reconcile?namespace=m", method="POST")
+        assert status == 200 and rep["consistent"] is True
+        status, rep = _req(port, "/mesh/reconcile?namespace=m&repair=1", method="POST")
+        assert status == 200 and rep.get("repaired") is False
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _req(port, "/mesh/reconcile?namespace=nope", method="POST")
+        assert exc.value.code == 404
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def test_server_cli_mesh_refuses_snapshot():
+    from mlvectordb_tpu.api.server import main
+
+    with pytest.raises(SystemExit):
+        main(["--mesh-shards", "4", "--snapshot", "/tmp/x"])
