@@ -310,8 +310,14 @@ def _select_and_rescan(
             mat = wmin.reshape(B * (W2 // G), G * R2)
             gidx = sup + (jnp.arange(B, dtype=sup.dtype) * (W2 // G))[:, None]
             rows4 = mat[gidx.reshape(-1)].reshape(B, s2, G, R2)
-            l1_vals = jnp.take_along_axis(
-                rows4, (w2i % G)[:, :, None, None], axis=2
+            # slice the wanted block out with a DENSE masked reduction, not
+            # take_along_axis — the minor-axis gather costs 5.2 ms at k=1000 shapes
+            # where the elementwise mask+sum costs 0.1 ms (measured)
+            onehot = (
+                jnp.arange(G, dtype=jnp.int32)[None, None, :] == (w2i % G)[:, :, None]
+            )
+            l1_vals = jnp.sum(
+                jnp.where(onehot[..., None], rows4, 0.0), axis=2
             ).reshape(B, s2 * R2)
         else:
             l1_vals = _flat_rows(wmin3, w2i).reshape(B, s2 * R2)
