@@ -704,18 +704,25 @@ class QueryProcessor:
         self,
         namespace: str = "default",
         ks: Sequence[int] = (10, 100),
-        batches: Sequence[int] = (1, 8, 128),
+        batches: Optional[Sequence[int]] = None,
         metrics: Sequence[str] = ("l2", "cosine"),
     ) -> int:
         """Pre-compile the search programs a serving deployment will hit.
 
         Each (capacity, batch-bucket, k-bucket, metric, variant) tuple is a separate XLA
-        compilation (~20-40 s cold on TPU); warming them before traffic arrives turns
-        first-query latency spikes into deploy-time work.  Returns programs executed.
+        compilation (~20-40 s cold on TPU; the certified program is larger still);
+        warming them before traffic arrives turns first-query latency spikes into
+        deploy-time work.  Returns programs executed.
+
+        ``batches`` defaults to EVERY config batch bucket up to 512 — the micro-batcher
+        coalesces concurrent singles into any of them, and one unwarmed bucket
+        serializes all traffic behind a multi-minute compile (round-3 load test).
         """
         ns = self.storage.namespace(namespace)
         if ns is None or ns.live_count == 0:
             return 0
+        if batches is None:
+            batches = [b for b in self.config.query_buckets if b <= 512] or [8]
         state = ns.device_state()
         ran = 0
         # Warm BOTH kernel variants — fast (live-prefix, no tombstones) and masked
@@ -749,11 +756,16 @@ class QueryProcessor:
                         if key in seen:
                             continue
                         seen.add(key)
+                        # sweep_err MUST match the serving call exactly: leaving it
+                        # out warms a different jit specialization and the first real
+                        # search pays the multi-minute certified-program compile
+                        # (found by the round-3 load test: one 365 s stall serialized
+                        # every concurrent client behind it)
                         d, _ = backend(
                             q_pad, state.data, state.valid, state.sq_norms,
                             k=kb, metric=canonical_metric(m),
                             db_tile=self.config.db_tile, live_prefix=live_prefix,
-                            data_t=state.data_t,
+                            data_t=state.data_t, sweep_err=state.sweep_err,
                         )
                         jax.block_until_ready(d)
                         ran += 1

@@ -506,15 +506,14 @@ def _fused_t(
 
     def exact_fallback(_):
         # wide tiles: the scan backend's cost is fold-count-bound (top_k per tile),
-        # so 32K-row tiles make the in-program fallback ~6x cheaper than 4K tiles
+        # so 32K-row tiles make the in-program fallback ~6x cheaper than 4K tiles.
+        # No intermediate wider-selection tier: measured on clustered corpora the 4x
+        # selection costs as much as the full scan it tries to avoid (round 3), and
+        # dropping it roughly halves the certified program's multi-minute compile.
         return exact_knn(q32, rescan, valid, sqn, k=k, metric=metric,
                          db_tile=8 * SWEEP_TILE)
 
-    def tier2(_):
-        d2, i2, ok2 = tier(4 * s1)
-        return jax.lax.cond(ok2, lambda _: (d2, i2), exact_fallback, operand=None)
-
-    return jax.lax.cond(ok1, lambda _: (d1, i1), tier2, operand=None)
+    return jax.lax.cond(ok1, lambda _: (d1, i1), exact_fallback, operand=None)
 
 
 # ------------------------------------------------------------------ public entry
