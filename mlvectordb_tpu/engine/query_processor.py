@@ -741,7 +741,10 @@ class QueryProcessor:
                         if (Bb, kb, m) in seen:
                             continue
                         seen.add((Bb, kb, m))
-                        ns.sharded_search(jnp.zeros((Bb, ns.dpad), jnp.float32), kb, canonical_metric(m))
+                        ds, _ = ns.sharded_search(
+                            jnp.zeros((Bb, ns.dpad), jnp.float32), kb, canonical_metric(m)
+                        )
+                        np.asarray(jax.device_get(ds[:1, :1]))  # force real completion
                         ran += 1
             return ran
         backend = knn_backend(self.config)
@@ -767,7 +770,12 @@ class QueryProcessor:
                             db_tile=self.config.db_tile, live_prefix=live_prefix,
                             data_t=state.data_t, sweep_err=state.sweep_err,
                         )
-                        jax.block_until_ready(d)
+                        # a REAL readback, not block_until_ready: through the axon
+                        # relay block_until_ready returns early, so warmup would
+                        # report success while the compiles still queue — and the
+                        # first real searches then stall minutes behind that backlog
+                        # (found by the round-3 load test)
+                        np.asarray(jax.device_get(d[:1, :1]))
                         ran += 1
         return ran
 
