@@ -169,8 +169,20 @@ def main(argv=None) -> None:
 
         qp = make_distributed_processor(args.mesh_replicas, args.mesh_shards, config)
         if args.wal:
+            import os
+
+            from ..engine.persist import load_storage, resolve_snapshot_dir
+
+            # WAL-only checkpointing works for the distributed engine too: the
+            # size-triggered snapshot (device->host rows) is mesh-agnostic, and
+            # recovery restores it INTO the sharded storage (load_storage's
+            # storage= param re-applies mesh placement) before replaying the
+            # remaining segments.
+            ckpt = resolve_snapshot_dir(os.path.join(args.wal, "checkpoint"))
+            if ckpt is not None:
+                load_storage(ckpt, config, storage=qp.storage)
             qp.replay_wal(args.wal)
-            qp.enable_wal(args.wal, fsync=args.wal_fsync, checkpoint_bytes=None)
+            qp.enable_wal(args.wal, fsync=args.wal_fsync, checkpoint_bytes=ckpt_bytes)
     elif args.snapshot or args.wal:
         qp = QueryProcessor.load(
             args.snapshot or "", config, wal_path=args.wal, wal_fsync=args.wal_fsync,

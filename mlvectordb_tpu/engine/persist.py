@@ -25,6 +25,23 @@ def _ns_file(i: int) -> str:
     return f"namespace_{i:05d}"
 
 
+def resolve_snapshot_dir(path) -> str | None:
+    """``path`` or ``path + ".old"`` if either holds a complete snapshot, else None.
+
+    Checkpoint swaps are rename(ckpt, old); rename(tmp, ckpt): a crash between the
+    two renames leaves only the ``.old`` directory, and recovery must fall back to it
+    rather than silently losing everything its pruned WAL segments covered
+    (ADVICE r3 medium)."""
+    if not path:
+        return None
+    if os.path.isfile(os.path.join(path, _MANIFEST)):
+        return path
+    old = path + ".old"
+    if os.path.isfile(os.path.join(old, _MANIFEST)):
+        return old
+    return None
+
+
 def save_storage(storage: StorageEngine, path: str) -> List[str]:
     import dataclasses
 

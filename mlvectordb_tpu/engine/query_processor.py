@@ -836,13 +836,16 @@ class QueryProcessor:
         checkpointing and loads it before replaying the remaining segments."""
         import os
 
-        from .persist import load_storage
+        from .persist import load_storage, resolve_snapshot_dir
 
-        if os.path.isdir(path):
-            qp = cls(load_storage(path, config), config)
+        snap = resolve_snapshot_dir(path) or (path if os.path.isdir(path) else None)
+        if snap is not None:
+            qp = cls(load_storage(snap, config), config)
         else:  # WAL-only recovery (crashed before the first explicit snapshot)
-            ckpt = os.path.join(wal_path, "checkpoint") if wal_path else None
-            if ckpt and os.path.isfile(os.path.join(ckpt, "manifest.json")):
+            ckpt = resolve_snapshot_dir(
+                os.path.join(wal_path, "checkpoint") if wal_path else None
+            )
+            if ckpt is not None:
                 qp = cls(load_storage(ckpt, config), config)
             else:
                 qp = cls(config=config)

@@ -48,6 +48,16 @@ class WriteAheadLog:
         os.makedirs(path, exist_ok=True)
         existing = self._segments()
         self._seq = (int(existing[-1].split("_")[1].split(".")[0]) + 1) if existing else 0
+        # per-segment byte ledger: total_bytes() is called on every logged mutation
+        # (the WAL-only checkpoint trigger), so it must not stat the directory each
+        # time (ADVICE r3) — sizes are tracked incrementally from append/prune
+        self._seg_bytes: Dict[str, int] = {}
+        for f in existing:
+            full = os.path.join(path, f)
+            try:
+                self._seg_bytes[full] = os.path.getsize(full)
+            except FileNotFoundError:
+                pass
         self._fh = None
         self._open_segment()
 
@@ -60,6 +70,8 @@ class WriteAheadLog:
     def _open_segment(self) -> None:
         name = os.path.join(self.path, f"{_SEG_PREFIX}{self._seq:08d}.log")
         self._fh = open(name, "ab")
+        self._active = name
+        self._seg_bytes.setdefault(name, 0)
 
     # ------------------------------------------------------------------ append
 
@@ -102,6 +114,7 @@ class WriteAheadLog:
             self._fh.flush()
             if self.fsync:
                 os.fsync(self._fh.fileno())
+            self._seg_bytes[self._active] = self._seg_bytes.get(self._active, 0) + len(rec)
 
     # ------------------------------------------------------------------ lifecycle
 
@@ -125,16 +138,13 @@ class WriteAheadLog:
                 os.remove(f)
             except FileNotFoundError:
                 pass
+            self._seg_bytes.pop(f, None)
 
     def total_bytes(self) -> int:
-        """Bytes currently held across all segments (drives WAL-only checkpointing)."""
-        total = 0
-        for f in self._segments():
-            try:
-                total += os.path.getsize(os.path.join(self.path, f))
-            except FileNotFoundError:
-                pass
-        return total
+        """Bytes currently held across all segments (drives WAL-only checkpointing).
+        Served from the incremental ledger — no directory walk on the write path."""
+        with self._lock:
+            return sum(self._seg_bytes.values())
 
     def close(self) -> None:
         with self._lock:

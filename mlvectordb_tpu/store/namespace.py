@@ -588,6 +588,10 @@ class NamespaceStore:
                 buf[:n] = data_live
             self._data = jnp.asarray(buf, dtype)
             self._data_t = self._build_mirror()
+            # the mirror's error norms must be rebuilt in lockstep: publishing a stale
+            # pre-compaction _sweep_err would feed wrong per-row bounds into the
+            # exactness certificate (ADVICE r3 high)
+            self._sweep_err = self._build_sweep_err()
             valid = np.zeros((new_cap,), bool)
             valid[:n] = True
             self._valid = jnp.asarray(valid)

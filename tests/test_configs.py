@@ -140,3 +140,30 @@ def test_sweep_mirror_end_to_end(rng, oracle):
         np.asarray(st2.data_t),
         np.asarray(to_sweep_layout(st2.data, dtype=jnp.bfloat16)),
     )
+
+
+def test_compact_rebuilds_sweep_err(rng):
+    """Mixed f32-store/bf16-sweep config: compact() must rebuild the per-row
+    bf16-rounding norms alongside the mirror — publishing a stale pre-compaction
+    _sweep_err feeds wrong bounds into the exactness certificate (ADVICE r3 high:
+    after a 16384->4096 compact the snapshot carried a 16384-length sweep_err)."""
+    from mlvectordb_tpu.store.namespace import NamespaceStore
+
+    cfg = EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="bfloat16",
+        use_pallas=False,
+    )
+    ns = NamespaceStore("ns", cfg)
+    ids = ns.bulk_upsert(rng.standard_normal((16384, 16)).astype(np.float32))
+    st = ns.device_state()
+    assert st.sweep_err is not None and st.sweep_err.shape == (16384,)
+
+    ns.delete(ids[4096:])  # tombstone ratio trips the in-delete compaction
+    st = ns.device_state()
+    assert ns.capacity == 4096
+    assert st.sweep_err is not None and st.sweep_err.shape == (ns.capacity,)
+    # the published norms must match a fresh recompute from the compacted rows
+    np.testing.assert_allclose(
+        np.asarray(st.sweep_err), np.asarray(ns._build_sweep_err()), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(st.sweep_err), np.asarray(ns._sweep_err))

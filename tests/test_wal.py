@@ -213,3 +213,34 @@ def test_wal_only_checkpoint_bounds_growth(tmp_path, small_config, rng):
     assert qp2.get_namespace_count("ns") == 399
     got = qp2.find_similar(dto(all_vals[5]), top_k=1, namespace="ns", metric="l2")
     assert got[0]["id"] == ids[5] and got[0]["score"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_checkpoint_old_fallback_recovers(tmp_path, small_config, rng):
+    """Crash between the checkpoint swap's two renames leaves only checkpoint.old;
+    recovery must fall back to it instead of silently starting empty (the covered
+    WAL segments were already pruned — ADVICE r3 medium)."""
+    import shutil
+
+    wal_dir = str(tmp_path / "wal")
+    qp = QueryProcessor(config=small_config)
+    qp.enable_wal(wal_dir, checkpoint_bytes=20_000)
+    all_vals = rng.standard_normal((400, 8)).astype(np.float32)
+    ids = []
+    for lo in range(0, 400, 50):
+        ids.extend(qp.bulk_load(all_vals[lo : lo + 50], "ns"))
+    ckpt = os.path.join(wal_dir, "checkpoint")
+    assert os.path.isfile(os.path.join(ckpt, "manifest.json"))
+
+    # simulate the torn swap: checkpoint/ renamed away, replacement never landed
+    os.rename(ckpt, ckpt + ".old")
+    qp2 = QueryProcessor.load(str(tmp_path / "nope"), small_config, wal_path=wal_dir)
+    assert qp2.get_namespace_count("ns") == 400
+    got = qp2.find_similar(dto(all_vals[7]), top_k=1, namespace="ns", metric="l2")
+    assert got[0]["id"] == ids[7]
+
+    # same fallback for an explicit snapshot directory torn mid-swap
+    snap = str(tmp_path / "snap")
+    qp.save(snap)
+    shutil.move(snap, snap + ".old")
+    qp3 = QueryProcessor.load(snap, small_config)
+    assert qp3.get_namespace_count("ns") == 400
