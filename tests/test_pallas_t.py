@@ -199,3 +199,59 @@ def test_bf16_sweep_exact_on_tightly_clustered_data(rng):
         np.testing.assert_allclose(
             np.sort(dp[b]), np.sort(d_or[b])[:K], rtol=1e-4, atol=1e-5
         )
+
+
+def test_per_window_certificate_with_sweep_err_clustered(rng):
+    """The per-window optimistic-bound path (sweep_err given, mixed bf16 sweep): the
+    certificate must stay exact on tightly clustered data, with selection pulling
+    uncertain windows into the rescan (VERDICT r3 #1)."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    K = 10
+    centers = (rng.standard_normal((8, D)).astype(np.float32) * 0.05)
+    assign = rng.integers(0, 8, N)
+    db_np = (centers[assign] + rng.standard_normal((N, D)).astype(np.float32) * 1e-3)
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q_np = (centers[rng.integers(0, 8, 8)]
+            + rng.standard_normal((8, D)).astype(np.float32) * 1e-3)
+    q = jnp.asarray(q_np)
+    valid = jnp.ones((N,), jnp.bool_)
+
+    dp, ipx = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=K, metric="l2", live_prefix=N, sweep_err=sweep_err_norms(db),
+    )
+    dp, ipx = np.asarray(dp), np.asarray(ipx)
+    d_or = ((q_np[:, None, :] - db_np[None, :, :]) ** 2).sum(-1)
+    kth = np.sort(d_or, axis=1)[:, K - 1]
+    for b in range(8):
+        true_d = d_or[b, ipx[b]]
+        assert (true_d <= kth[b] + 1e-5).all(), (b, true_d, kth[b])
+        np.testing.assert_allclose(
+            np.sort(dp[b]), np.sort(d_or[b])[:K], rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_per_window_certificate_localizes_error(rng, metric):
+    """A few huge-magnitude rows (large bf16 rounding error) must not break exactness
+    for queries whose neighbourhoods are elsewhere — the per-window bounds localize
+    the error instead of inflating a global band."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    db_np = rng.standard_normal((N, D)).astype(np.float32)
+    hot = rng.choice(N, 64, replace=False)
+    db_np[hot] *= 1000.0  # these rows carry ~2000x the bf16 absolute error
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q = jnp.asarray(rng.standard_normal((8, D)).astype(np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+
+    dp, ipx = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=7, metric=metric, live_prefix=N, sweep_err=sweep_err_norms(db),
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=7, metric=metric, db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), (metric, b)
