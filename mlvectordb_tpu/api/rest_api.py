@@ -789,14 +789,20 @@ class RestAPI:
             payload = {}
         ns = payload.get("namespace", request.query.get("namespace", "default"))
         try:
-            ran = await self._run(
+            ran, report = await self._run(
                 self.query_processor.warmup,
                 ns,
                 tuple(payload.get("ks", (10, 100))),
                 tuple(payload.get("batches", (1, 8, 128))),
                 tuple(payload.get("metrics", ("l2", "cosine"))),
+                True,  # detail: per-program compile seconds (VERDICT r3 #5)
             )
-            return _json({"status": "success", "programs_warmed": ran})
+            return _json({
+                "status": "success",
+                "programs_warmed": ran,
+                "seconds_total": round(sum(report.values()), 3),
+                "programs": report,
+            })
         except Exception as e:
             return _error(f"warmup failed: {e}", 500)
 

@@ -97,6 +97,15 @@ class EngineConfig:
     # elsewhere (CPU simulation, interpret mode).
     use_pallas: bool = True
 
+    # Residual-corrected sweep (mixed f32-store/bf16-sweep configs only): keep an
+    # int8 quantization of each row's bf16 rounding residual alongside the mirror
+    # (+1 byte/element HBM, one extra VMEM matmul in phase 1).  Shrinks the
+    # exactness certificate's data-side error band ~2^-8x, so the certified fast
+    # tier passes even on tightly clustered corpora whose neighbour gaps sit far
+    # below the raw bf16 band — proof at margin-mode speed instead of a fallback
+    # scan (ops/pallas_knn_t._sweep_kernel).
+    sweep_resid: bool = True
+
     # Exactness certificate (ops/pallas_knn_t._fused_t): every bf16-sweep search
     # proves on device that no pruned window can hold a true neighbour, escalating to
     # wider selection / a full exact scan when the proof fails.  True (default) =

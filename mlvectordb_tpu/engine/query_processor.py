@@ -273,9 +273,10 @@ class QueryProcessor:
                 out.extend(got)
             ivf = getattr(ns, "ivf", None)
             if ivf is not None:
-                ivf.add(
-                    [ns.get(vid) for vid in out]
-                )
+                # assignment-batched straight from the contiguous array: building a
+                # Vector per row here was exactly the Python-object churn bulk_upsert
+                # exists to avoid (VERDICT r3 #7)
+                ivf.add_bulk(values, out)
         return out
 
     def _sync_ivf_add(self, namespace: str, vectors: Sequence[Vector]) -> None:
@@ -445,7 +446,8 @@ class QueryProcessor:
                     jnp.asarray(q_pad), state.data, valid, state.sq_norms,
                     k=kb, metric=metric, db_tile=self.config.db_tile,
                     live_prefix=live_prefix, data_t=state.data_t,
-                    sweep_err=state.sweep_err,
+                    sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
+                    sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
                 )
         # ONE device->host transfer for both arrays: through the axon relay every
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately
@@ -680,13 +682,41 @@ class QueryProcessor:
         live = ns.live_count if ns else 0
         cap = ns.capacity if ns else 0
         kb = min(self.config.bucket_k(min(top_k, max(live, 1))), max(cap, 1))
+        # Truthful exactness reporting (VERDICT r3 #9): margin mode
+        # (certify_exact=False) weakens the contract ONLY where the fused sweep
+        # kernel actually engages — small/mirror-less namespaces and the scan
+        # backend stay exact by construction.
+        from ..ops.pallas_knn_t import SWEEP_TILE
+
+        fused_active = (
+            self.config.use_pallas
+            and self.config.sweep_dtype is not None
+            and cap >= 2 * SWEEP_TILE
+            and jax.default_backend() == "tpu"
+        )
+        margin_mode = fused_active and not self.config.certify_exact
+        if self.config.certify_exact:
+            contract = (
+                "certified: per-query on-device proof that no pruned window can "
+                "hold a true neighbour; escalates to wider selection / exact scan"
+            )
+        elif margin_mode:
+            contract = (
+                "margin: fast selection tier returned unconditionally; exactness "
+                "rests on the empirical selection margin + benchmark recall gates "
+                "(certify_exact=False)"
+            )
+        else:
+            contract = "exact by construction (full scan / fused kernel disengaged)"
         return {
             "query_type": "hybrid" if filter else "knn",
             "namespace": namespace,
             "metric": m,
             "higher_is_better": HIGHER_IS_BETTER[m],
-            "exact": True,
-            "expected_recall": 1.0,
+            "exact": not margin_mode,
+            "certified": bool(self.config.certify_exact),
+            "exactness_contract": contract,
+            "expected_recall": None if margin_mode else 1.0,
             "live_vectors": live,
             "scanned_slots": cap,
             "k_requested": top_k,
@@ -698,7 +728,14 @@ class QueryProcessor:
         }
 
     def get_statistics(self) -> Dict[str, Any]:
-        return self.stats.as_dict()
+        out = self.stats.as_dict()
+        # a margin-mode server must SAY so (VERDICT r3 #9): operators reading
+        # /statistics should see which exactness contract their traffic ran under
+        out["exactness"] = {
+            "certify_exact": bool(self.config.certify_exact),
+            "contract": "certified" if self.config.certify_exact else "margin",
+        }
+        return out
 
     def warmup(
         self,
@@ -706,13 +743,20 @@ class QueryProcessor:
         ks: Sequence[int] = (10, 100),
         batches: Optional[Sequence[int]] = None,
         metrics: Sequence[str] = ("l2", "cosine"),
-    ) -> int:
+        detail: bool = False,
+    ):
         """Pre-compile the search programs a serving deployment will hit.
 
         Each (capacity, batch-bucket, k-bucket, metric, variant) tuple is a separate XLA
         compilation (~20-40 s cold on TPU; the certified program is larger still);
         warming them before traffic arrives turns first-query latency spikes into
-        deploy-time work.  Returns programs executed.
+        deploy-time work.  Returns programs executed (with ``detail=True``, a
+        ``(count, {program: seconds})`` pair so /warmup can report the per-program
+        compile bill — VERDICT r3 #5).
+
+        Programs are dispatched CONCURRENTLY (thread pool): XLA compilation happens
+        server-side per program, so overlapping the requests bounds deploy-time
+        warmup near the slowest single compile instead of the serial sum.
 
         ``batches`` defaults to EVERY config batch bucket up to 512 — the micro-batcher
         coalesces concurrent singles into any of them, and one unwarmed bucket
@@ -720,64 +764,82 @@ class QueryProcessor:
         """
         ns = self.storage.namespace(namespace)
         if ns is None or ns.live_count == 0:
-            return 0
+            return (0, {}) if detail else 0
         if batches is None:
             batches = [b for b in self.config.query_buckets if b <= 512] or [8]
         state = ns.device_state()
-        ran = 0
         # Warm BOTH kernel variants — fast (live-prefix, no tombstones) and masked
         # (tombstones/filters present) — by dispatching the backend directly against the
         # namespace's published snapshot.  Compilation keys on shapes/static args only,
         # so this compiles exactly the programs _search_snapshot will dispatch WITHOUT
         # inserting sentinels into or compacting the user's namespace (warmup must never
         # mutate data, bump versions, or change compiled capacity buckets).
-        seen = set()
-        if hasattr(ns, "sharded_search"):
-            for m in metrics:
-                for b in batches:
-                    Bb = self.config.bucket_batch(b)
-                    for k in ks:
-                        kb = min(self.config.bucket_k(min(k, state.live_count)), state.valid.shape[0])
-                        if (Bb, kb, m) in seen:
-                            continue
-                        seen.add((Bb, kb, m))
-                        ds, _ = ns.sharded_search(
-                            jnp.zeros((Bb, ns.dpad), jnp.float32), kb, canonical_metric(m)
-                        )
-                        np.asarray(jax.device_get(ds[:1, :1]))  # force real completion
-                        ran += 1
-            return ran
-        backend = knn_backend(self.config)
+        jobs: Dict[str, Any] = {}
+        sharded = hasattr(ns, "sharded_search")
+        backend = None if sharded else knn_backend(self.config)
         for m in metrics:
+            mc = canonical_metric(m)
             for b in batches:
                 Bb = self.config.bucket_batch(b)
-                q_pad = jnp.zeros((Bb, ns.dpad), jnp.float32)
                 for k in ks:
                     kb = min(self.config.bucket_k(min(k, state.live_count)), state.valid.shape[0])
-                    for live_prefix in (None, state.high_water):
-                        key = (Bb, kb, canonical_metric(m), live_prefix is None)
-                        if key in seen:
+                    if sharded:
+                        key = f"b{Bb}_k{kb}_{mc}_sharded"
+                        if key in jobs:
                             continue
-                        seen.add(key)
-                        # sweep_err MUST match the serving call exactly: leaving it
-                        # out warms a different jit specialization and the first real
-                        # search pays the multi-minute certified-program compile
-                        # (found by the round-3 load test: one 365 s stall serialized
-                        # every concurrent client behind it)
-                        d, _ = backend(
-                            q_pad, state.data, state.valid, state.sq_norms,
-                            k=kb, metric=canonical_metric(m),
-                            db_tile=self.config.db_tile, live_prefix=live_prefix,
-                            data_t=state.data_t, sweep_err=state.sweep_err,
-                        )
-                        # a REAL readback, not block_until_ready: through the axon
-                        # relay block_until_ready returns early, so warmup would
-                        # report success while the compiles still queue — and the
-                        # first real searches then stall minutes behind that backlog
-                        # (found by the round-3 load test)
-                        np.asarray(jax.device_get(d[:1, :1]))
-                        ran += 1
-        return ran
+
+                        def job(Bb=Bb, kb=kb, mc=mc):
+                            ds, _ = ns.sharded_search(
+                                jnp.zeros((Bb, ns.dpad), jnp.float32), kb, mc
+                            )
+                            np.asarray(jax.device_get(ds[:1, :1]))  # force completion
+
+                        jobs[key] = job
+                        continue
+                    for live_prefix in (None, state.high_water):
+                        key = f"b{Bb}_k{kb}_{mc}_{'masked' if live_prefix is None else 'fast'}"
+                        if key in jobs:
+                            continue
+
+                        # sweep_err/resid operands MUST match the serving call
+                        # exactly: leaving one out warms a different jit
+                        # specialization and the first real search pays the
+                        # multi-minute certified-program compile (round-3 load
+                        # test: one 365 s stall serialized every client)
+                        def job(Bb=Bb, kb=kb, mc=mc, live_prefix=live_prefix):
+                            d, _ = backend(
+                                jnp.zeros((Bb, ns.dpad), jnp.float32),
+                                state.data, state.valid, state.sq_norms,
+                                k=kb, metric=mc,
+                                db_tile=self.config.db_tile, live_prefix=live_prefix,
+                                data_t=state.data_t, sweep_err=state.sweep_err,
+                                sweep_resid=state.sweep_resid,
+                                sweep_rscale=state.sweep_rscale,
+                                sweep_err1=state.sweep_err1,
+                            )
+                            # a REAL readback, not block_until_ready: through the
+                            # axon relay block_until_ready returns early, so warmup
+                            # would report success while the compiles still queue —
+                            # and the first real searches then stall minutes behind
+                            # that backlog (found by the round-3 load test)
+                            np.asarray(jax.device_get(d[:1, :1]))
+
+                        jobs[key] = job
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        report: Dict[str, float] = {}
+
+        def timed(item):
+            key, job = item
+            t0 = time.perf_counter()
+            job()
+            return key, time.perf_counter() - t0
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as pool:
+            for key, secs in pool.map(timed, jobs.items()):
+                report[key] = round(secs, 3)
+        return (len(jobs), report) if detail else len(jobs)
 
     # ------------------------------------------------------------------ REST helpers
     # (parity with reference query_processor.py:64-82)

@@ -56,6 +56,10 @@ def _regrow_t(data_t, *, n_shards, old_shard_cap, new_shard_cap):
 class ShardedNamespaceStore(NamespaceStore):
     """NamespaceStore whose device state is sharded across the mesh."""
 
+    # residual mirror not yet plumbed through shard_map: the per-window sweep_err
+    # certificate still applies per shard (escalates more often on adversarial data)
+    _resid_capable = False
+
     def __init__(
         self,
         name: str,

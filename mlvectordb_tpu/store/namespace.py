@@ -50,10 +50,19 @@ class DeviceState(NamedTuple):
     # Optional transposed sweep mirror [dpad, cap] in config.sweep_dtype: phase-1 of
     # the roofline kernel (ops/pallas_knn_t.py) reads this; rescan/hydration read data.
     data_t: Optional[jax.Array] = None
-    # Mixed f32-store/bf16-sweep configs: per-row ||row - bf16(row)|| norms [cap] f32,
+    # Mixed f32-store/bf16-sweep configs: per-row data-side error norms [cap] f32,
     # feeding the kernel's exactness certificate (tight sound bound on phase-1 rank
-    # error; see ops/pallas_knn_t._fused_t).
+    # error; see ops/pallas_knn_t._fused_t).  Without the residual mirror this is
+    # ||row - bf16(row)||; with it, the residual quantizer's remaining error.
     sweep_err: Optional[jax.Array] = None
+    # Residual-corrected sweep (config.sweep_resid, mixed configs): int8 codes of
+    # delta = row - bf16(row) in sweep layout [dpad, cap], per-row dequant scales
+    # [cap] f32, and raw ||delta|| norms [cap] f32 — phase 1 adds one VMEM matmul to
+    # recover qh . delta, shrinking the certified error band ~2^-8x so the fast tier
+    # certifies even on tightly clustered corpora (ops/pallas_knn_t._sweep_kernel).
+    sweep_resid: Optional[jax.Array] = None
+    sweep_rscale: Optional[jax.Array] = None
+    sweep_err1: Optional[jax.Array] = None
     # Host slot tables (ids, metadata, values) captured at publish time.  Hydration of
     # store-slot results MUST read all three from here — one atomic tuple — never from
     # the store's live attributes: compact() replaces the three lists wholesale, so a
@@ -100,6 +109,21 @@ def _scatter_sweep_err(err, slots, vals):
 
 
 @jax.jit
+def _scatter_resid(err, err1, rscale, resid_t, slots, cols, vals):
+    """Maintain the int8 residual mirror + its scales/error norms in one scatter
+    (residual-corrected sweep, config.sweep_resid)."""
+    from ..ops.pallas_knn_t import quantize_resid_rows
+
+    z, scale, e2, e1 = quantize_resid_rows(vals)
+    return (
+        err.at[slots].set(e2),
+        err1.at[slots].set(e1),
+        rscale.at[slots].set(scale),
+        resid_t.at[:, cols].set(z.T),
+    )
+
+
+@jax.jit
 def _clear_slots(valid, slots):
     """Device-side delete: tombstone = mask clear (copy-on-write)."""
     return valid.at[slots].set(False)
@@ -133,7 +157,10 @@ class NamespaceStore:
         self._valid: Optional[jax.Array] = None
         self._sq_norms: Optional[jax.Array] = None
         self._data_t: Optional[jax.Array] = None  # transposed sweep mirror (config.sweep_dtype)
-        self._sweep_err: Optional[jax.Array] = None  # [cap] bf16-rounding norms (mixed config)
+        self._sweep_err: Optional[jax.Array] = None  # [cap] data-side error norms (mixed config)
+        self._sweep_resid: Optional[jax.Array] = None   # [dpad, cap] int8 residual codes
+        self._sweep_rscale: Optional[jax.Array] = None  # [cap] per-row dequant scales
+        self._sweep_err1: Optional[jax.Array] = None    # [cap] raw ||delta|| norms
         # atomically-published snapshot tuple: readers must never assemble a state from
         # the individual attributes (a concurrent growth could interleave generations)
         self._state: Optional[DeviceState] = None
@@ -176,6 +203,8 @@ class NamespaceStore:
         total = self.capacity * self.dpad * itemsize + self.capacity * (1 + 4)
         if self._data_t is not None:
             total += self._data_t.size * self._data_t.dtype.itemsize
+        if self._sweep_resid is not None:
+            total += self._sweep_resid.size + self.capacity * 8  # codes + scale/err1
         return total
 
     @property
@@ -213,6 +242,7 @@ class NamespaceStore:
             self._data = self._valid = self._sq_norms = None
             self._data_t = None  # cheap to rebuild from data on restore
             self._sweep_err = None
+            self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
             self._state = None   # readers route through ensure_resident
             return True
 
@@ -223,7 +253,7 @@ class NamespaceStore:
         self._valid = jnp.asarray(host["valid"])
         self._sq_norms = jnp.asarray(host["sq_norms"])
         self._data_t = self._build_mirror()
-        self._sweep_err = self._build_sweep_err()
+        self._rebuild_sweep_aux()
 
     def ensure_resident(self) -> bool:
         """Page an offloaded namespace back into HBM (no-op when resident)."""
@@ -243,6 +273,9 @@ class NamespaceStore:
             self._high_water, len(self._id_to_slot),
             data_t=self._data_t,
             sweep_err=self._sweep_err,
+            sweep_resid=self._sweep_resid,
+            sweep_rscale=self._sweep_rscale,
+            sweep_err1=self._sweep_err1,
             host_tables=(self._slot_ids, self._slot_meta, self._slot_values)
             if self.host_mirror else None,
         )
@@ -284,6 +317,15 @@ class NamespaceStore:
             and self._sweep_dtype() == jnp.bfloat16
         )
 
+    # Sharded stores disable the residual mirror for now (its arrays would need
+    # per-shard placement + shard_map plumbing); their certificate still runs on the
+    # per-window sweep_err bounds, escalating more often on adversarial corpora.
+    _resid_capable = True
+
+    def _use_resid(self) -> bool:
+        """Residual-corrected sweep active (config.sweep_resid, mixed config only)."""
+        return self._resid_capable and self.config.sweep_resid and self._mixed_sweep()
+
     def _build_mirror(self):
         """(Re)build the window-major sweep mirror from the current device matrix."""
         sdt = self._sweep_dtype()
@@ -300,6 +342,18 @@ class NamespaceStore:
         d32 = self._data.astype(jnp.float32)
         delta = d32 - d32.astype(jnp.bfloat16).astype(jnp.float32)
         return jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+
+    def _rebuild_sweep_aux(self) -> None:
+        """(Re)derive every certificate-side array from the current device matrix —
+        must run whenever _data_t is rebuilt wholesale (compact, restore, regrow)."""
+        self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
+        if self._use_resid() and self._data_t is not None:
+            from ..ops.pallas_knn_t import quantize_resid
+
+            (self._sweep_resid, self._sweep_rscale,
+             self._sweep_err, self._sweep_err1) = quantize_resid(self._data)
+        else:
+            self._sweep_err = self._build_sweep_err()
 
     def _mirror_cols(self, slots: np.ndarray) -> np.ndarray:
         """Store slots -> sweep-layout mirror columns (host-side arithmetic)."""
@@ -319,6 +373,10 @@ class NamespaceStore:
                 self._data_t = jnp.zeros((self.dpad, new_cap), sdt)
                 if self._mixed_sweep():
                     self._sweep_err = jnp.zeros((new_cap,), jnp.float32)
+                    if self._use_resid():
+                        self._sweep_resid = jnp.zeros((self.dpad, new_cap), jnp.int8)
+                        self._sweep_rscale = jnp.zeros((new_cap,), jnp.float32)
+                        self._sweep_err1 = jnp.zeros((new_cap,), jnp.float32)
         else:
             grow = new_cap - self.capacity
             old_cap = self.capacity
@@ -332,12 +390,17 @@ class NamespaceStore:
                     self._data_t = jnp.pad(self._data_t, ((0, 0), (0, grow)))
                     if self._sweep_err is not None:
                         self._sweep_err = jnp.pad(self._sweep_err, (0, grow))
+                    if self._sweep_resid is not None:
+                        self._sweep_resid = jnp.pad(self._sweep_resid, ((0, 0), (0, grow)))
+                        self._sweep_rscale = jnp.pad(self._sweep_rscale, (0, grow))
+                        self._sweep_err1 = jnp.pad(self._sweep_err1, (0, grow))
                 else:
                     self._data_t = self._build_mirror()  # first eligible capacity
-                    self._sweep_err = self._build_sweep_err()
+                    self._rebuild_sweep_aux()
             else:
                 self._data_t = None
                 self._sweep_err = None
+                self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
 
     def _grow_host_tables(self, new_cap: int) -> None:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
@@ -385,6 +448,24 @@ class NamespaceStore:
         self._grow_host_tables(new_cap)
 
     # ------------------------------------------------------------------ mutation
+
+    def _scatter_write(self, slots: np.ndarray, vals: np.ndarray) -> None:
+        """Apply one bucketed write batch to every device array (data + mirrors)."""
+        slots_j, vals_j = jnp.asarray(slots), jnp.asarray(vals)
+        self._data, self._valid, self._sq_norms = _scatter_rows(
+            self._data, self._valid, self._sq_norms, slots_j, vals_j
+        )
+        if self._data_t is not None:
+            cols_j = jnp.asarray(self._mirror_cols(slots))
+            self._data_t = _scatter_cols_t(self._data_t, cols_j, vals_j)
+            if self._sweep_resid is not None:
+                (self._sweep_err, self._sweep_err1, self._sweep_rscale,
+                 self._sweep_resid) = _scatter_resid(
+                    self._sweep_err, self._sweep_err1, self._sweep_rscale,
+                    self._sweep_resid, slots_j, cols_j, vals_j,
+                )
+            elif self._sweep_err is not None:
+                self._sweep_err = _scatter_sweep_err(self._sweep_err, slots_j, vals_j)
 
     def upsert(self, vectors: Sequence[Vector]) -> None:
         """Insert or overwrite-by-id a batch of vectors (one device scatter)."""
@@ -437,16 +518,7 @@ class NamespaceStore:
                 slots = np.concatenate([slots, np.full(nb - n, slots[0], np.int32)])
                 vals = np.concatenate([vals, np.broadcast_to(vals[0], (nb - n, self.dpad))])
 
-            slots_j, vals_j = jnp.asarray(slots), jnp.asarray(vals)
-            self._data, self._valid, self._sq_norms = _scatter_rows(
-                self._data, self._valid, self._sq_norms, slots_j, vals_j
-            )
-            if self._data_t is not None:
-                self._data_t = _scatter_cols_t(
-                    self._data_t, jnp.asarray(self._mirror_cols(slots)), vals_j
-                )
-                if self._sweep_err is not None:
-                    self._sweep_err = _scatter_sweep_err(self._sweep_err, slots_j, vals_j)
+            self._scatter_write(slots, vals)
             self.version += 1
             self._publish()
 
@@ -501,16 +573,7 @@ class NamespaceStore:
             if nb != n:
                 slots = np.concatenate([slots, np.full(nb - n, slots[0], np.int32)])
                 vals = np.concatenate([vals, np.broadcast_to(vals[0], (nb - n, self.dpad))])
-            slots_j, vals_j = jnp.asarray(slots), jnp.asarray(vals)
-            self._data, self._valid, self._sq_norms = _scatter_rows(
-                self._data, self._valid, self._sq_norms, slots_j, vals_j
-            )
-            if self._data_t is not None:
-                self._data_t = _scatter_cols_t(
-                    self._data_t, jnp.asarray(self._mirror_cols(slots)), vals_j
-                )
-                if self._sweep_err is not None:
-                    self._sweep_err = _scatter_sweep_err(self._sweep_err, slots_j, vals_j)
+            self._scatter_write(slots, vals)
             self.version += 1
             self._publish()
             return list(ids)
@@ -588,10 +651,10 @@ class NamespaceStore:
                 buf[:n] = data_live
             self._data = jnp.asarray(buf, dtype)
             self._data_t = self._build_mirror()
-            # the mirror's error norms must be rebuilt in lockstep: publishing a stale
-            # pre-compaction _sweep_err would feed wrong per-row bounds into the
-            # exactness certificate (ADVICE r3 high)
-            self._sweep_err = self._build_sweep_err()
+            # the mirror's certificate arrays must be rebuilt in lockstep: publishing
+            # a stale pre-compaction _sweep_err (or residual codes) would feed wrong
+            # per-row bounds into the exactness certificate (ADVICE r3 high)
+            self._rebuild_sweep_aux()
             valid = np.zeros((new_cap,), bool)
             valid[:n] = True
             self._valid = jnp.asarray(valid)

@@ -418,3 +418,44 @@ def test_cors_headers(small_config):
             await client.close()
 
     asyncio.run(runner())
+
+
+def test_margin_mode_surfaces_in_explain_and_statistics(small_config):
+    """A margin-mode server must say so (VERDICT r3 #9): /query/explain reports
+    certified=false + the recall-gate contract, /statistics carries the exactness
+    block — and the certified default reports the machine-checked contract."""
+    import dataclasses
+
+    async def drive(cfg, want_certified):
+        import aiohttp
+
+        qp = QueryProcessor(config=cfg)
+        api = RestAPI(qp, enable_file_logging=False, log_level="WARNING")
+        client = TestClient(TestServer(api.app), timeout=aiohttp.ClientTimeout(total=1200))
+        await client.start_server()
+        try:
+            await _seed(client, n=5)
+            resp = await client.post(
+                "/query/explain",
+                json={"type": "knn", "vector": [0.0] * 8, "k": 3, "namespace": "ns"},
+            )
+            plan = (await resp.json())["execution_plan"]
+            assert plan["certified"] is want_certified
+            if want_certified:
+                assert "certified" in plan["exactness_contract"]
+                assert plan["expected_recall"] == 1.0
+            else:
+                # tiny CPU namespace: the fused kernel disengages, so results stay
+                # exact — but the server-level contract must still read "margin"
+                assert "margin" in plan["exactness_contract"] or plan["exact"]
+            resp = await client.get("/statistics")
+            stats = await resp.json()
+            assert stats["exactness"]["certify_exact"] is want_certified
+            assert stats["exactness"]["contract"] == (
+                "certified" if want_certified else "margin"
+            )
+        finally:
+            await client.close()
+
+    asyncio.run(drive(small_config, True))
+    asyncio.run(drive(dataclasses.replace(small_config, certify_exact=False), False))

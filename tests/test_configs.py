@@ -151,6 +151,7 @@ def test_compact_rebuilds_sweep_err(rng):
 
     cfg = EngineConfig(
         initial_capacity=4096, capacity_multiple=4096, sweep_dtype="bfloat16",
+        sweep_resid=False,  # plain-sweep_err semantics; the resid path has its own test
         use_pallas=False,
     )
     ns = NamespaceStore("ns", cfg)
@@ -167,3 +168,53 @@ def test_compact_rebuilds_sweep_err(rng):
         np.asarray(st.sweep_err), np.asarray(ns._build_sweep_err()), rtol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(st.sweep_err), np.asarray(ns._sweep_err))
+
+
+def test_resid_mirror_tracks_mutations(rng):
+    """Residual-corrected mixed config: the int8 codes, scales, and error norms must
+    equal a fresh whole-store quantization after every mutation path (scatter upsert,
+    overwrite, delete+compact, offload/restore)."""
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_resid
+    from mlvectordb_tpu.store.namespace import NamespaceStore
+
+    cfg = EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="bfloat16",
+        use_pallas=False,
+    )
+    ns = NamespaceStore("ns", cfg)
+
+    def check():
+        st = ns.device_state()
+        assert st.sweep_resid is not None and st.sweep_resid.dtype == jnp.int8
+        resid, rscale, e2, e1 = quantize_resid(st.data)
+        np.testing.assert_array_equal(np.asarray(st.sweep_resid), np.asarray(resid))
+        np.testing.assert_allclose(np.asarray(st.sweep_rscale), np.asarray(rscale), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(st.sweep_err), np.asarray(e2), rtol=1e-4, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st.sweep_err1), np.asarray(e1), rtol=1e-4, atol=1e-9)
+
+    ids = ns.bulk_upsert(rng.standard_normal((5000, 16)).astype(np.float32) * 3.0)
+    check()
+    # overwrite some rows in place (per-vector path)
+    from mlvectordb_tpu.store.vector import Vector
+
+    ns.upsert([Vector(rng.standard_normal(16).astype(np.float32), {}, id=ids[7])])
+    check()
+    # capacity growth
+    ns.bulk_upsert(rng.standard_normal((4000, 16)).astype(np.float32))
+    check()
+    # delete enough to trip compaction
+    ns.delete(ids[:3000])
+    check()
+    # offload / page back in
+    assert ns.offload()
+    assert ns.ensure_resident()
+    check()
+
+    # sweep_resid=False opts out entirely
+    ns2 = NamespaceStore("ns2", EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="bfloat16",
+        sweep_resid=False, use_pallas=False,
+    ))
+    ns2.bulk_upsert(rng.standard_normal((4096, 16)).astype(np.float32))
+    st2 = ns2.device_state()
+    assert st2.sweep_resid is None and st2.sweep_err is not None
