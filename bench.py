@@ -81,7 +81,7 @@ def main() -> int:
     from mlvectordb_tpu.engine.query_processor import QueryProcessor
     from mlvectordb_tpu.interfaces.vector import VectorDTO
     from mlvectordb_tpu.ops.backend import knn_backend
-    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms, to_sweep_layout
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_resid, to_sweep_layout
 
     N, D, K = 1 << 20, 128, 10
     B = 128
@@ -100,24 +100,32 @@ def main() -> int:
     )
     backend = knn_backend(config)
 
-    # the production arrays, exactly as the engine holds them
+    # the production arrays, exactly as the engine holds them — including the int8
+    # residual-correction mirror the store maintains for the DEFAULT certified config
+    # (sweep_resid=True: codes + per-row scales + error norms; the certificate's fast
+    # tier passes with these even on clustered corpora)
     db = jnp.asarray(db_np)
     sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     db_t = to_sweep_layout(db, dtype=jnp.bfloat16) if on_tpu else None
-    # mixed f32-store/bf16-sweep: the per-row rounding norms feed the kernel's
-    # exactness certificate (tight bound -> the fast tier certifies)
-    db_err = sweep_err_norms(db) if on_tpu else None
+    if on_tpu:
+        db_resid, db_rscale, db_err, db_err1 = quantize_resid(db)
+    else:
+        db_resid = db_rscale = db_err = db_err1 = None
     q = jnp.asarray(q_np)
 
-    def search(qq, dd, vv, ss, ddt=None, k=K):
+    # NB: the big certificate arrays ride as explicit ARGS through the timing harness
+    # (closure capture bakes them into the HLO as literals -> the relay's
+    # remote-compile endpoint rejects the payload; benchmarks/timing.py docstring)
+    def search(qq, dd, vv, ss, ddt=None, k=K, se=None, rz=None, rs=None, e1=None):
         return backend(qq, dd, vv, ss, k=k, metric="l2", db_tile=config.db_tile,
-                       live_prefix=N, data_t=ddt,
-                       sweep_err=db_err if ddt is not None else None)
+                       live_prefix=N, data_t=ddt, sweep_err=se,
+                       sweep_resid=rz, sweep_rscale=rs, sweep_err1=e1)
 
     # ---- recall gate: engine vs numpy oracle must agree exactly -------------------
     log("verifying recall@10 == 1.0 against f32 numpy oracle ...")
-    _, i_eng = search(q, db, valid, sq, db_t)
+    _, i_eng = search(q, db, valid, sq, db_t, se=db_err, rz=db_resid, rs=db_rscale,
+                      e1=db_err1)
     i_eng = np.asarray(i_eng)
     sq_np = (db_np ** 2).sum(-1)
     d_or = sq_np[None, :] - 2.0 * (q_np @ db_np.T) + (q_np ** 2).sum(-1)[:, None]
@@ -133,10 +141,10 @@ def main() -> int:
     # ---- kernel throughput: median of 5 on-device RTT-cancelled runs ---------------
     log("timing kernel throughput (median of 5) ...")
     if on_tpu:
-        kern_args = [q, db_t, db, sq]
+        kern_args = [q, db_t, db, sq, db_err, db_resid, db_rscale, db_err1]
 
-        def kern_fn(qq, ddt, dd, ss):
-            return search(qq, dd, valid, ss, ddt)
+        def kern_fn(qq, ddt, dd, ss, se, rz, rs, e1):
+            return search(qq, dd, valid, ss, ddt, se=se, rz=rz, rs=rs, e1=e1)
     else:
         kern_args = [q, db, sq]
 
@@ -154,9 +162,7 @@ def main() -> int:
     # small batches finish in ~0.3 ms, so the iteration count must be high enough for
     # the differenced signal to clear the relay's run-to-run noise
     t_lat, _ = median_device_time(
-        (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt)) if on_tpu
-        else (lambda qq, dd, ss: search(qq, dd, valid, ss, None)),
-        [q8, db_t, db, sq] if on_tpu else [q8, db, sq], runs=3, iters=48,
+        kern_fn, [q8] + kern_args[1:], runs=3, iters=48,
     )
     log(f"batch-8 latency: {t_lat*1e3:.3f} ms (p50-equivalent)")
 
@@ -164,18 +170,18 @@ def main() -> int:
     # serving batches amortize it (the micro-batcher coalesces traffic into these)
     q512 = jnp.asarray(np.repeat(q_np, 4, axis=0))
     t_512, _ = median_device_time(
-        (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt)) if on_tpu
-        else (lambda qq, dd, ss: search(qq, dd, valid, ss, None)),
-        [q512, db_t, db, sq] if on_tpu else [q512, db, sq], runs=3,
+        kern_fn, [q512] + kern_args[1:], runs=3,
     )
     log(f"batch-512: {t_512*1e3:.3f} ms = {512/t_512:,.0f} QPS/chip")
 
     # k=100 row (BASELINE config #2 names k=100)
-    t_k100, _ = median_device_time(
-        (lambda qq, ddt, dd, ss: search(qq, dd, valid, ss, ddt, k=100)) if on_tpu
-        else (lambda qq, dd, ss: search(qq, dd, valid, ss, None, k=100)),
-        [q, db_t, db, sq] if on_tpu else [q, db, sq], runs=3,
-    )
+    if on_tpu:
+        def kern_fn_k100(qq, ddt, dd, ss, se, rz, rs, e1):
+            return search(qq, dd, valid, ss, ddt, k=100, se=se, rz=rz, rs=rs, e1=e1)
+    else:
+        def kern_fn_k100(qq, dd, ss):
+            return search(qq, dd, valid, ss, None, k=100)
+    t_k100, _ = median_device_time(kern_fn_k100, kern_args, runs=3)
     log(f"k=100: {t_k100*1e3:.3f} ms / {B} queries = {B/t_k100:,.0f} QPS/chip")
 
     # ---- engine path: the surface users hit (QueryProcessor.find_similar_batch) ----
@@ -207,6 +213,13 @@ def main() -> int:
     d2h = qp.transfer_counts["d2h"] - xfer0["d2h"]
     assert (h2d, d2h) == (1, 1), f"transfer discipline broken: {h2d} h2d / {d2h} d2h"
     user = qp._to_user_score(dist, "l2")
+    # warm the hydration path before the measured pass: the first call pays one-time
+    # costs that are not per-search work — native extension load (auto-built on first
+    # use), slot-table page-in — and the target is steady-state cost (VERDICT r3 #6:
+    # the driver's cold first rep inflated the number of record to 1.3 ms)
+    t0 = time.perf_counter()
+    qp._hydrate_batch(user, dist, slots, ns, resolver, limit=K, tables=tables)
+    hydrate_cold_ms = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):
@@ -216,6 +229,7 @@ def main() -> int:
         "kernel_ms": round(t_med * 1e3, 3),
         "engine_wall_ms": round(wall_med * 1e3, 3),
         "hydration_ms": round(hydrate_ms, 3),
+        "hydration_first_call_ms": round(hydrate_cold_ms, 3),
         # the remainder is device dispatch + host<->device transfers; through the
         # shared axon relay each round trip costs ~28 ms that co-located serving
         # would not pay

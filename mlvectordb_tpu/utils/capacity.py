@@ -51,9 +51,18 @@ def plan_capacity(
     dpad = config.pad_dim(dim)
     itemsize = 2 if config.dtype == "bfloat16" else 4
     cap = config.round_capacity(n_vectors)
-    data = cap * dpad * itemsize
-    # valid (1B) + sq_norms (4B) + window-min workspace [cap/R1, B~256] f32 + slack
-    overhead = cap * 5 + (cap // 32) * 256 * 4
+    per_dim = itemsize
+    # transposed sweep mirror (config.sweep_dtype) + the int8 residual-correction
+    # codes of the mixed certified config ride in HBM next to the store
+    if config.sweep_dtype is not None:
+        per_dim += 2 if config.sweep_dtype == "bfloat16" else 4
+        mixed = config.dtype == "float32" and config.sweep_dtype == "bfloat16"
+        if mixed and config.sweep_resid:
+            per_dim += 1
+    data = cap * dpad * per_dim
+    # valid (1B) + sq_norms (4B) + certificate scalars (scale/err, <=12B) +
+    # window-min workspace [cap/R1, B~256] f32 + slack
+    overhead = cap * 17 + (cap // 32) * 256 * 4
     total = data + overhead
     budget = int(hbm_per_chip * hbm_budget_fraction)
     min_shards = max(1, -(-total // budget))
@@ -62,7 +71,7 @@ def plan_capacity(
         dim=dim,
         dim_padded=dpad,
         dtype=config.dtype,
-        bytes_per_vector=dpad * itemsize,
+        bytes_per_vector=dpad * per_dim,
         data_bytes=data,
         overhead_bytes=overhead,
         total_bytes=total,
