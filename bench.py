@@ -220,15 +220,22 @@ def main() -> int:
     t0 = time.perf_counter()
     qp._hydrate_batch(user, dist, slots, ns, resolver, limit=K, tables=tables)
     hydrate_cold_ms = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    reps = 10
+    # steady-state = MIN over reps: hydration is host-CPU work on a SHARED box, and
+    # scheduler preemption inflates mean/median by multiples under load (observed:
+    # the same run's numpy baseline swings 5x between sessions).  The min is the
+    # reproducible capability number; the mean rides along for transparency.
+    reps, times = 10, []
     for _ in range(reps):
+        t0 = time.perf_counter()
         qp._hydrate_batch(user, dist, slots, ns, resolver, limit=K, tables=tables)
-    hydrate_ms = (time.perf_counter() - t0) * 1e3 / reps
+        times.append((time.perf_counter() - t0) * 1e3)
+    hydrate_ms = min(times)
+    hydrate_mean_ms = sum(times) / reps
     gap = {
         "kernel_ms": round(t_med * 1e3, 3),
         "engine_wall_ms": round(wall_med * 1e3, 3),
         "hydration_ms": round(hydrate_ms, 3),
+        "hydration_mean_ms": round(hydrate_mean_ms, 3),
         "hydration_first_call_ms": round(hydrate_cold_ms, 3),
         # the remainder is device dispatch + host<->device transfers; through the
         # shared axon relay each round trip costs ~28 ms that co-located serving

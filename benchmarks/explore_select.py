@@ -16,6 +16,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
@@ -69,8 +71,11 @@ def main():
         return t
 
     only = os.environ.get("SELECT_ONLY", "").split(",") if os.environ.get("SELECT_ONLY") else None
+    r1_only = {int(x) for x in os.environ.get("SELECT_R1", "").split(",") if x}
 
     def want(tag):
+        if r1_only and "r1=" in tag and int(tag.split("r1=")[1].split()[0]) not in r1_only:
+            return False
         return only is None or any(o and o in tag for o in only)
 
     sw_bytes = sweep_t.dtype.itemsize
@@ -93,15 +98,16 @@ def main():
         if not want(f"p1:{r1}"):
             continue
 
-        def p1_fn(qq, ddt, sr, _r1=r1):
-            qf = -2.0 * qq
-            qh = qf.astype(ddt.dtype)
-            qres = (qf - qh.astype(np.float32)).astype(ddt.dtype) \
-                if ddt.dtype == jnp.bfloat16 else None
-            return pkt._window_mins(qh, qres, ddt, None, sr,
-                                    q_tile=min(pkt.Q_TILE, B), g=pkt.R1MAX // _r1)
-        bench(f"phase1-only r1={r1}", p1_fn, [q, sweep_t, srow],
-              N * D * sw_bytes + B * (N // r1) * 4)
+        for passes in (1, 2) if sweep_t.dtype == jnp.bfloat16 else (1,):
+            def p1_fn(qq, ddt, sr, _r1=r1, _p=passes):
+                qf = -2.0 * qq
+                qh = qf.astype(ddt.dtype)
+                qres = ((qf - qh.astype(np.float32)).astype(ddt.dtype)
+                        if _p == 2 else None)
+                return pkt._window_mins(qh, qres, ddt, None, None, None, sr,
+                                        q_tile=min(pkt.Q_TILE, B), g=pkt.R1MAX // _r1)
+            bench(f"phase1-only r1={r1} passes={passes}", p1_fn, [q, sweep_t, srow],
+                  N * D * sw_bytes + B * (N // r1) * 4)
 
     # carrier-dependent selection probes (sel2): wmin derived from the carrier so
     # nothing hoists out of the timing loop; isolates _select_and_rescan cost
@@ -109,7 +115,7 @@ def main():
         from mlvectordb_tpu.ops import pallas_knn_t as _pk
 
         for r1 in (2, 4, 8, 16, 32):
-            if K * r1 > N:
+            if K * r1 > N or (r1_only and r1 not in r1_only):
                 continue
             P = N // r1
             wbase = jnp.asarray(

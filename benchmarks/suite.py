@@ -35,6 +35,7 @@ def main() -> int:
     from benchmarks.timing import device_seconds_per_call
     from mlvectordb_tpu.ops.pallas_knn_t import (
         exact_knn_pallas_t,
+        quantize_resid,
         sweep_err_norms,
         to_sweep_layout,
     )
@@ -43,13 +44,15 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
 
     def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None, derr=None,
-                certify=True):
+                resid=None, rscale=None, err1=None, certify=True):
         # the serving configuration: transposed sweep mirror + f32 rescan; ``derr``
-        # carries the rounding norms for MIXED configs (certificate fast tier);
+        # (+ resid/rscale/err1, the int8 residual correction the engine's mixed
+        # default maintains) feed the certificate's per-window bounds;
         # certify=False = margin-based mode (EngineConfig.certify_exact=False)
         if on_tpu and ddt is not None:
             return exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=k, metric=metric,
                                       live_prefix=live_prefix, sweep_err=derr,
+                                      resid=resid, rscale=rscale, err1=err1,
                                       certify=certify)
         return exact_knn(qq, dd, vv, ss, k=k, metric=metric, db_tile=4096)
 
@@ -81,12 +84,20 @@ def main() -> int:
     db_np = sift
     db = jnp.asarray(db_np)
     db_t = to_sweep_layout(db, dtype=jnp.bfloat16)
-    db_err = sweep_err_norms(db)  # mixed config: certificate rounding norms
+    # the engine's mixed-config default: int8 residual correction + error norms
+    # (NB: these ride as harness ARGS below, never closures — closure capture bakes
+    # them into the HLO and the relay's remote-compile endpoint rejects the payload)
+    db_resid, db_rscale, db_err, db_err1 = quantize_resid(db)
     sq = jnp.sum(db * db, axis=-1)
     valid = jnp.ones((N,), jnp.bool_)
     qs_np = np.zeros((B, 128), np.float32)
     qs_np[:, : ds["queries"].shape[1]] = ds["queries"][:B]
     q = jnp.asarray(qs_np)
+    cert_args = [db_t, db, valid, sq, db_err, db_resid, db_rscale, db_err1]
+
+    def cert_backend(qq, ddt, dd, vv, ss, de, rz, rs, e1, *, k, metric="l2"):
+        return backend(qq, dd, vv, ss, k=k, metric=metric, live_prefix=N, ddt=ddt,
+                       derr=de, resid=rz, rscale=rs, err1=e1)
 
     # recall gate on the suite's own data before any timing
     d_or = (
@@ -95,8 +106,7 @@ def main() -> int:
         + (qs_np ** 2).sum(-1)[:, None]
     )
     i_or10 = np.argpartition(d_or, 10, axis=1)[:, :10]
-    _, i_eng = backend(q, db, valid, sq, k=10, metric="l2", live_prefix=N, ddt=db_t,
-                       derr=db_err)
+    _, i_eng = cert_backend(q, *cert_args, k=10)
     i_eng = np.asarray(i_eng)
     recall = np.mean([
         len(set(i_eng[b].tolist()) & set(i_or10[b].tolist())) / 10 for b in range(B)
@@ -108,11 +118,10 @@ def main() -> int:
     # k=1000 is the REST contract's top_k cap (reference rest_api.py:24)
     for K in (10, 100, 1000):
         t = device_seconds_per_call(
-            lambda qq, ddt, dd, vv, ss, _k=K: backend(
-                qq, dd, vv, ss, k=_k, metric="l2", live_prefix=N, ddt=ddt,
-                derr=db_err,
+            lambda qq, ddt, dd, vv, ss, de, rz, rs, e1, _k=K: cert_backend(
+                qq, ddt, dd, vv, ss, de, rz, rs, e1, k=_k,
             ),
-            [q, db_t, db, valid, sq], iters=8,
+            [q] + cert_args, iters=8,
         )
         log(f"{ds['name']} l2 k={K}: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
         emit(f"sift1m_l2_k{K}_qps", B / t, "qps", batch=B, n=N, dataset=ds["name"])
@@ -142,9 +151,9 @@ def main() -> int:
 
     # range query: top-limit + threshold (limit=1000 path)
     t = device_seconds_per_call(
-        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=1000, metric="l2",
-                                            live_prefix=N, ddt=ddt, derr=db_err),
-        [q[:8], db_t, db, valid, sq], iters=6,
+        lambda qq, ddt, dd, vv, ss, de, rz, rs, e1: cert_backend(
+            qq, ddt, dd, vv, ss, de, rz, rs, e1, k=1000),
+        [q[:8]] + cert_args, iters=6,
     )
     log(f"{ds['name']} range(limit=1000): {t*1e3:.3f} ms/batch-8")
     emit("sift1m_range_limit1000_ms_batch8", t * 1e3, "ms", n=N)
@@ -208,7 +217,8 @@ def main() -> int:
     vmask = jnp.asarray(mask)
     # recall gate for the MASKED path too: filtered oracle over the surviving rows
     _, i_hy = backend(q[:16], db, vmask, sq, k=10, metric="cosine", live_prefix=None,
-                        ddt=db_t, derr=db_err)
+                        ddt=db_t, derr=db_err, resid=db_resid, rscale=db_rscale,
+                        err1=db_err1)
     i_hy = np.asarray(i_hy)
     qs16 = qs_np[:16]
     dots = qs16 @ db_np.T
@@ -224,9 +234,10 @@ def main() -> int:
     assert hy_recall == 1.0, f"masked-path exactness violated: {hy_recall}"
     assert bool(mask[np.asarray(i_hy).ravel()].all()), "filtered-out row leaked into results"
     t = device_seconds_per_call(
-        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
-                                            live_prefix=None, ddt=ddt, derr=db_err),
-        [q, db_t, db, vmask, sq], iters=8,
+        lambda qq, ddt, dd, vv, ss, de, rz, rs, e1: backend(
+            qq, dd, vv, ss, k=10, metric="cosine", live_prefix=None, ddt=ddt,
+            derr=de, resid=rz, rscale=rs, err1=e1),
+        [q, db_t, db, vmask, sq, db_err, db_resid, db_rscale, db_err1], iters=8,
     )
     log(f"GloVe-shape cosine hybrid (50% filter): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("glove_cosine_hybrid_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)

@@ -44,9 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--sweep-dtype",
         default=None,
-        choices=["bfloat16", "float32"],
+        choices=["bfloat16", "float32", "int8"],
         help="Maintain a transposed sweep mirror for the roofline kernel "
-        "(bfloat16 recommended for serving: ~2-3x QPS for +50%% HBM)",
+        "(bfloat16 recommended for serving: ~2-3x QPS for +50%% HBM; int8 = "
+        "1 byte/element codes, certificate-gated)",
     )
     p.add_argument("--metric", default="l2", help="Default distance metric (l2/ip/cosine)")
     p.add_argument("--db-tile", type=int, default=8192, help="Database-axis kernel tile size")

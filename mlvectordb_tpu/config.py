@@ -64,9 +64,12 @@ class EngineConfig:
     # (ops/pallas_knn_t.py) while the exact rescan + hydration read the primary
     # row-major matrix.  "bfloat16" = recommended serving config (+50% HBM for ~2-3x
     # QPS; candidate scoring stays exact f32 — the bench recall gate and oracle tests
-    # pin set-exactness); "float32" = +100% HBM, HIGHEST-precision ranking; None
-    # (default) = no mirror, row-major kernel, provably exact selection margin.
-    sweep_dtype: Optional[str] = None  # None | "bfloat16" | "float32"
+    # pin set-exactness); "float32" = +100% HBM, HIGHEST-precision ranking; "int8" =
+    # per-row-scaled codes at 1 byte/element (phase 1 at ~2x the bf16 bandwidth
+    # headroom; the exactness certificate carries the quantization-error bounds and
+    # escalates when int8 resolution is not enough); None (default) = no mirror,
+    # row-major kernel, provably exact selection margin.
+    sweep_dtype: Optional[str] = None  # None | "bfloat16" | "float32" | "int8"
 
     # Slots allocated for a fresh namespace; grows by powers of two up to max_capacity.
     initial_capacity: int = 4096

@@ -110,6 +110,29 @@ def sweep_err_norms(data: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(delta * delta, axis=-1))
 
 
+def quantize_int8_rows(vals: jax.Array):
+    """Row-wise int8 PRIMARY quantization (sweep_dtype="int8"): row ~ scale * z with
+    z int8 and a per-row scale.  Returns ``(z [n, Dp] int8, scale [n] f32,
+    err [n] f32)`` with err = ||row - scale*z|| — the certificate's data-side bound
+    (phase 1 at 1 byte/element; ~2x the bf16 sweep's bandwidth headroom, ~2x its
+    error band — the proof decides per corpus whether that is enough)."""
+    v32 = vals.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(v32), axis=-1) / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)[:, None]
+    z = jnp.clip(jnp.round(v32 / safe), -127.0, 127.0)
+    z = jnp.where(scale[:, None] > 0, z, 0.0)
+    rem = v32 - scale[:, None] * z
+    err = jnp.sqrt(jnp.sum(rem * rem, axis=-1))
+    return z.astype(jnp.int8), scale, err
+
+
+def quantize_int8(data: jax.Array, shard_cap: int | None = None):
+    """Whole-store int8 sweep mirror: ``(codes [Dp, cap] int8 sweep layout,
+    scale [cap] f32, err [cap] f32)`` — see quantize_int8_rows."""
+    z, scale, err = quantize_int8_rows(data)
+    return to_sweep_layout(z, shard_cap=shard_cap), scale, err
+
+
 def quantize_resid_rows(vals: jax.Array):
     """Row-wise int8 residual quantization for MIXED f32-store/bf16-sweep configs.
 
@@ -179,19 +202,24 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
     r1 = R1MAX // g
 
     def kernel(q_ref, qr_ref, db_ref, resid_ref, rscale_ref, scale_ref, bias_ref, out_ref):
+        db = db_ref[:]
+        if db.dtype == jnp.int8:
+            # int8 PRIMARY sweep: codes are integers <= 127, exact in bf16; the
+            # per-row dequant scale rides in scale_ref (folded by the caller)
+            db = db.astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
             q_ref[:],
-            db_ref[:],
+            db,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=_phase1_precision(db_ref.dtype),
+            precision=_phase1_precision(db.dtype),
             preferred_element_type=jnp.float32,
         )  # [Bt, T]
         if two_pass:
             dots = dots + jax.lax.dot_general(
                 qr_ref[:],
-                db_ref[:],
+                db,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=_phase1_precision(db_ref.dtype),
+                precision=_phase1_precision(db.dtype),
                 preferred_element_type=jnp.float32,
             )
         if use_resid:
@@ -283,6 +311,34 @@ def _pos_to_window(p, g: int):
     return (t * WLANE + j) * g + a
 
 
+def _sorted_topk(x, kk: int):
+    """(values, positions) of the kk smallest per row via ONE bitonic pair-sort.
+
+    XLA's top_k on TPU costs ~O(W*k) (iterative selection), which at k~1000 dwarfs
+    the O(W log^2 W) bitonic sort — measured in the round-3 probes, top_k [B, 2k]
+    -> k at k=1000 alone cost milliseconds.  Large-k selections therefore sort
+    (value, index) pairs once and slice."""
+    B, W = x.shape
+    iota = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    sv, si = jax.lax.sort((x, iota), dimension=-1, num_keys=1)
+    return sv[:, :kk], si[:, :kk]
+
+
+# k at or above which selections pair-sort instead of top_k (see _sorted_topk);
+# overridable for perf exploration (read once at import)
+import os as _os
+
+SORT_TOPK_FROM = int(_os.environ.get("MLVDB_SORT_TOPK_FROM", "257"))
+
+
+def _topk_min(x, kk: int):
+    """Smallest-kk (values, positions): top_k for small kk, pair-sort for large."""
+    if kk >= SORT_TOPK_FROM and x.shape[1] > kk:
+        return _sorted_topk(x, kk)
+    neg, i = jax.lax.top_k(-x, kk)
+    return -neg, i
+
+
 def _topk_spec(x, kk: int):
     """(values, idx, floor) of kk smallest entries per row of x [B, W].
 
@@ -297,8 +353,8 @@ def _topk_spec(x, kk: int):
     B, W = x.shape
     CH = 2048
     if W <= max(kk, 4096):
-        neg, i = jax.lax.top_k(-x, min(kk, W))
-        return -neg, i, jnp.full((B,), jnp.inf, jnp.float32)
+        v, i = _topk_min(x, min(kk, W))
+        return v, i, jnp.full((B,), jnp.inf, jnp.float32)
 
     Wp = -(-W // CH) * CH
     pad = Wp - W
@@ -318,13 +374,13 @@ def _topk_spec(x, kk: int):
     iglob = (
         i.reshape(B, nch, kc) + (jnp.arange(nch, dtype=jnp.int32) * CH)[None, :, None]
     ).reshape(B, nch * kc)
-    neg2, p = jax.lax.top_k(-vch.reshape(B, nch * kc), kk)
+    v2, p = _topk_min(vch.reshape(B, nch * kc), kk)
     idx = jnp.minimum(jnp.take_along_axis(iglob, p, axis=1), W - 1)
     if kc < kk:  # speculative: unreturned elements are >= their chunk's kc-th
         floor = jnp.min(vch[:, :, -1], axis=1)
     else:
         floor = jnp.full((B,), jnp.inf, jnp.float32)
-    return -neg2, idx, floor
+    return v2, idx, floor
 
 
 def _flat_rows(mat3, idx):
@@ -376,8 +432,7 @@ def _select_and_rescan(
         wmin3 = wmin.reshape(B, W2, R2)
         wmin2 = wmin3.min(axis=-1)                        # [B, W2]
         s2 = min(s, W2)
-        v2, w2i = jax.lax.top_k(-wmin2, s2)
-        v2, w2i = -v2, w2i
+        v2, w2i = _topk_min(wmin2, s2)
         # gather the selected blocks' fine windows.  128B rows gather at ~3 GB/s
         # (overhead-bound); 512B rows at ~100-148 GB/s (round-3 gather probe) — so
         # fetch 4-block SUPER-rows and slice the wanted block on-chip.  Sorted ids
@@ -395,15 +450,33 @@ def _select_and_rescan(
             onehot = (
                 jnp.arange(G, dtype=jnp.int32)[None, None, :] == (w2i % G)[:, :, None]
             )
-            l1_vals = jnp.sum(
-                jnp.where(onehot[..., None], rows4, 0.0), axis=2
-            ).reshape(B, s2 * R2)
+            l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
         else:
-            l1_vals = _flat_rows(wmin3, w2i).reshape(B, s2 * R2)
+            l1_blk = _flat_rows(wmin3, w2i)               # [B, s2, R2]
         s1 = min(s, s2 * R2)
-        v1, pos, floor = _topk_spec(l1_vals, s1)
-        w2sel = jnp.take_along_axis(w2i, pos // R2, axis=1)
-        p = w2sel * R2 + pos % R2                         # output positions
+        if s1 > 256 and s2 >= 8:
+            # LARGE-k refinement: the flat [B, s2*R2] selection costs ~O(W*k) in
+            # XLA top_k (measured ~11 ms at k=1000) — instead take each selected
+            # block's top-m windows with one narrow batched top_k (speculative:
+            # typical occupancy is ~1 window/block) and pair-sort the m*s2
+            # survivors.  Blocks holding more than m of the true top-s1 windows
+            # are caught by the floor: their unreturned windows are >= the block's
+            # m-th value, which feeds thresh, so the certificate escalates rather
+            # than silently missing (same contract as _topk_spec's speculation).
+            m = min(R2, max(4, -(-s1 // s2) + 2))
+            negm, posm = jax.lax.top_k(-l1_blk.reshape(B * s2, R2), m)
+            vals_m = (-negm).reshape(B, s2 * m)
+            pos_in_blk = posm.reshape(B, s2 * m)
+            v1, sel = _topk_min(vals_m, s1)
+            w2sel = jnp.take_along_axis(w2i, sel // m, axis=1)
+            p = w2sel * R2 + jnp.take_along_axis(pos_in_blk, sel, axis=1)
+            floor = jnp.min((-negm).reshape(B, s2, m)[:, :, -1], axis=1) if m < R2 \
+                else jnp.full((B,), jnp.inf, jnp.float32)
+        else:
+            l1_vals = l1_blk.reshape(B, s2 * R2)
+            v1, pos, floor = _topk_spec(l1_vals, s1)
+            w2sel = jnp.take_along_axis(w2i, pos // R2, axis=1)
+            p = w2sel * R2 + pos % R2                     # output positions
         # unselected blocks >= s2-th block-min; unselected windows inside selected
         # blocks >= min(s1-th value, speculative floor)
         thresh = jnp.full((B,), jnp.inf, jnp.float32)
@@ -449,8 +522,7 @@ def _select_and_rescan(
         dist = jnp.where(rows < hw, dist, MASKED)         # arithmetic tail mask
 
     kk = min(k, dist.shape[1])
-    neg, pk = jax.lax.top_k(-dist, kk)
-    best_d = -neg
+    best_d, pk = _topk_min(dist, kk)
     best_i = jnp.take_along_axis(rows, pk, axis=1).astype(jnp.int32)
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=float(MASKED))
@@ -483,22 +555,36 @@ def _fused_t(
     bias_row = sweep_rows_1d(bias).reshape(1, cap)
 
     bf_sweep = data_t.dtype == jnp.bfloat16
+    int8_sweep = data_t.dtype == jnp.int8
+    lossy_sweep = bf_sweep or int8_sweep
     if metric == "l2":
         q_fold = -2.0 * q32
-        scale_row = None
+        sfac = None
     elif metric == "ip":
         q_fold = -q32
-        scale_row = None
+        sfac = None
     else:  # cosine: rank by -dots/|d| (+mask); 1/|q| is a per-query constant, dropped
         q_fold = -q32
-        scale_row = sweep_rows_1d(jax.lax.rsqrt(jnp.maximum(sqn, 1e-30))).reshape(1, cap)
+        sfac = jax.lax.rsqrt(jnp.maximum(sqn, 1e-30))
+    if int8_sweep:
+        # fold the per-row dequant scale into the kernel's per-column multiplier
+        sfac = rscale if sfac is None else rscale * sfac
+    scale_row = sweep_rows_1d(sfac).reshape(1, cap) if sfac is not None else None
 
-    # compensated query for bf16 sweeps: qh + qres represents q_fold to ~2^-18
-    # relative, so the certificate's query-rounding term vanishes (the second VMEM
-    # matmul costs MXU time only — the HBM stream is unchanged)
-    qh = q_fold.astype(data_t.dtype)
+    # compensated query for MIXED lossy sweeps: qh + qres represents q_fold to
+    # ~2^-18 relative, so the certificate's query-rounding term vanishes (the second
+    # VMEM matmul costs MXU time only — the HBM stream is unchanged).  int8 sweeps
+    # dot the bf16 query against bf16-cast codes (exact for integers <= 127).
+    # SAME-dtype sweeps (bf16 store + bf16 mirror, the DEEP config) skip the second
+    # pass — halving MXU work on what is otherwise a bandwidth-matched kernel — and
+    # instead carry the query-rounding term |qres . d| <= |qres| * ||d|| as a
+    # per-window norm bound in the certificate (rescan rows are the same bf16 data,
+    # so the query side is the ONLY phase-1/rescan mismatch there).
+    mixed = (bf_sweep and rescan.dtype != data_t.dtype) or int8_sweep
+    op_dtype = jnp.bfloat16 if int8_sweep else data_t.dtype
+    qh = q_fold.astype(op_dtype)
     qres_f32 = q_fold - qh.astype(jnp.float32)
-    qres = qres_f32.astype(data_t.dtype) if bf_sweep else None
+    qres = qres_f32.astype(op_dtype) if (lossy_sweep and mixed) else None
 
     # margin mode skips the residual pass: it returns tier-1 unconditionally, so the
     # extra matmul/bandwidth would buy rank accuracy it never has to prove
@@ -544,7 +630,6 @@ def _fused_t(
     # worst-case f32 accumulation: <= Dp * 2^-24 relative to |qh||d| per dot, on both
     # the phase-1 and rescan sides; 4x headroom
     slack = (Dp * 2.0 ** -22) * qh_l2 * (1.0 if metric == "cosine" else maxd)
-    mixed = bf_sweep and rescan.dtype != data_t.dtype
     e_pos = q_err = None
 
     def win_bounds(row_norms):
@@ -559,7 +644,14 @@ def _fused_t(
 
     if not mixed:
         err = slack
-    elif use_resid and sweep_err is not None:
+        if lossy_sweep and certify:
+            # same-dtype bf16 single-pass query: the only phase-1/rescan mismatch
+            # is the query's bf16 rounding — bounded per window by |qres| * ||d||
+            # (win_bounds' cosine scaling turns the norm term into exactly |qres|)
+            qres_l2 = jnp.sqrt(jnp.sum(qres_f32 * qres_f32, axis=-1))
+            e_pos = (win_bounds(jnp.sqrt(sqn)),)
+            q_err = (qres_l2,)
+    elif use_resid and sweep_err is not None and certify:
         # residual-corrected sweep: the remaining data-side error is the int8
         # quantizer's (sweep_err = ||delta - scale*z|| per row, ~2^-8 of the raw
         # bf16 band) scaled by the FULL query, plus the raw bf16 band (err1)
@@ -569,12 +661,13 @@ def _fused_t(
         e_pos = (win_bounds(sweep_err), win_bounds(err1))
         q_err = (qh_l2, qres_l2)
         err = slack
-    elif sweep_err is not None:
+    elif sweep_err is not None and certify:
         e_pos = (win_bounds(sweep_err),)
         q_err = (qh_l2,)
         err = slack                                       # data-side error lives in e_pos
     else:  # worst-case elementwise bound; tier-1 widens to compensate
-        err = (2.0 ** -9) * qh_l2 * (1.0 if metric == "cosine" else maxd) + slack
+        rel = 2.0 ** -7 if int8_sweep else 2.0 ** -9
+        err = rel * qh_l2 * (1.0 if metric == "cosine" else maxd) + slack
 
     def check_exact(best_d, thresh):  # [B] bool; must not shadow the `certify` param
         kth = best_d[:, k - 1]
@@ -630,14 +723,17 @@ def _fused_t(
 
     P_all = wmin.shape[1]
     s2 = min(8 * s1, P_all)
-    if s2 <= s1:
+    B = q.shape[0]
+    # tier-2 only earns its keep while its gather traffic (B * s2 * r1 rows) stays
+    # under the exact scan's one-pass stream (cap rows for ALL queries): beyond that
+    # crossover the wider selection is slower than the fallback it delays — and its
+    # subgraph dominates the certified program's compile time at large k (measured:
+    # the k=1000 certified program compiled 10+ minutes with it, seconds without)
+    if s2 <= s1 or B * s2 * r1 > cap:
         return jax.lax.cond(ok1, lambda _: (d1, i1), exact_fallback, operand=None)
 
     def tier2_or_exact(_):
-        # selection+rescan only — the HBM sweep is not repaid.  8x covers moderately
-        # clustered neighbourhoods; beyond that the gather bytes (B * s * r1 rows)
-        # exceed a full streaming scan (cap rows once for ALL queries), so wider
-        # tiers would be slower than the fallback they delay.
+        # selection+rescan only — the HBM sweep is not repaid
         d2, i2, ok2 = tier(s2)
         return jax.lax.cond(ok2, lambda _: (d2, i2), exact_fallback, operand=None)
 
@@ -717,6 +813,7 @@ def exact_knn_pallas_t(
         or Dp % 128 != 0
         or k * r1 > cap
         or r1 not in (1, 2, 4, 8, 16, 32)
+        or (data_t.dtype == jnp.int8 and rscale is None)  # codes need dequant scales
     ):
         return exact_knn(q, rescan_data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
 

@@ -24,6 +24,11 @@ def _fold_tile(best_d, best_i, tile_d, tile_i, k):
     """Merge a [B, T] candidate block into the carried [B, k] top-k (min-distances)."""
     cand_d = jnp.concatenate([best_d, tile_d], axis=1)
     cand_i = jnp.concatenate([best_i, tile_i], axis=1)
+    if k > 256:
+        # XLA top_k costs ~O(W*k) on TPU; at k~1000 one bitonic pair-sort
+        # (O(W log^2 W)) of the candidate block is far cheaper per fold
+        sd, si = jax.lax.sort((cand_d, cand_i), dimension=-1, num_keys=1)
+        return sd[:, :k], si[:, :k]
     neg_top, pos = jax.lax.top_k(-cand_d, k)
     return -neg_top, jnp.take_along_axis(cand_i, pos, axis=1)
 

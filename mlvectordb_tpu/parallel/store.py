@@ -89,6 +89,11 @@ class ShardedNamespaceStore(NamespaceStore):
         sdt = self._sweep_dtype()
         if sdt is None or self._data is None or not self._mirror_ok(self._data.shape[0]):
             return None
+        if sdt == jnp.int8:
+            # int8 codes need dequant scales plumbed through shard_map — not yet
+            # wired for the sharded kernel; run mirror-less (scan path) instead of
+            # silently serving unscaled ranks
+            return None
         from ..ops.pallas_knn_t import to_sweep_layout
 
         return jax.device_put(

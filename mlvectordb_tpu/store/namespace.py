@@ -109,6 +109,20 @@ def _scatter_sweep_err(err, slots, vals):
 
 
 @jax.jit
+def _scatter_int8(data_t, rscale, err, slots, cols, vals):
+    """int8 PRIMARY sweep mirror (sweep_dtype="int8"): quantize the written rows and
+    scatter codes + per-row dequant scales + quantization-error norms."""
+    from ..ops.pallas_knn_t import quantize_int8_rows
+
+    z, s, e = quantize_int8_rows(vals)
+    return (
+        data_t.at[:, cols].set(z.T),
+        rscale.at[slots].set(s),
+        err.at[slots].set(e),
+    )
+
+
+@jax.jit
 def _scatter_resid(err, err1, rscale, resid_t, slots, cols, vals):
     """Maintain the int8 residual mirror + its scales/error norms in one scatter
     (residual-corrected sweep, config.sweep_resid)."""
@@ -299,7 +313,11 @@ class NamespaceStore:
         sd = self.config.sweep_dtype
         if sd is None:
             return None
-        return jnp.bfloat16 if sd == "bfloat16" else jnp.float32
+        return {"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(sd, jnp.float32)
+
+    def _int8_sweep(self) -> bool:
+        """int8 primary sweep active (maintains codes + dequant scales + err norms)."""
+        return self._sweep_dtype() == jnp.int8
 
     def _mirror_ok(self, cap: int) -> bool:
         """The window-major sweep layout (ops/pallas_knn_t.py) needs whole
@@ -331,6 +349,10 @@ class NamespaceStore:
         sdt = self._sweep_dtype()
         if sdt is None or self._data is None or not self._mirror_ok(self._data.shape[0]):
             return None
+        if sdt == jnp.int8:
+            from ..ops.pallas_knn_t import quantize_int8
+
+            return quantize_int8(self._data)[0]
         from ..ops.pallas_knn_t import to_sweep_layout
 
         return to_sweep_layout(self._data, dtype=sdt)
@@ -352,6 +374,10 @@ class NamespaceStore:
 
             (self._sweep_resid, self._sweep_rscale,
              self._sweep_err, self._sweep_err1) = quantize_resid(self._data)
+        elif self._int8_sweep() and self._data_t is not None:
+            from ..ops.pallas_knn_t import quantize_int8_rows
+
+            _, self._sweep_rscale, self._sweep_err = quantize_int8_rows(self._data)
         else:
             self._sweep_err = self._build_sweep_err()
 
@@ -371,9 +397,11 @@ class NamespaceStore:
             self._sq_norms = jnp.zeros((new_cap,), jnp.float32)
             if sdt is not None and self._mirror_ok(new_cap):
                 self._data_t = jnp.zeros((self.dpad, new_cap), sdt)
-                if self._mixed_sweep():
+                if self._mixed_sweep() or self._int8_sweep():
                     self._sweep_err = jnp.zeros((new_cap,), jnp.float32)
-                    if self._use_resid():
+                    if self._int8_sweep():
+                        self._sweep_rscale = jnp.zeros((new_cap,), jnp.float32)
+                    elif self._use_resid():
                         self._sweep_resid = jnp.zeros((self.dpad, new_cap), jnp.int8)
                         self._sweep_rscale = jnp.zeros((new_cap,), jnp.float32)
                         self._sweep_err1 = jnp.zeros((new_cap,), jnp.float32)
@@ -390,10 +418,12 @@ class NamespaceStore:
                     self._data_t = jnp.pad(self._data_t, ((0, 0), (0, grow)))
                     if self._sweep_err is not None:
                         self._sweep_err = jnp.pad(self._sweep_err, (0, grow))
+                    if self._sweep_rscale is not None:
+                        self._sweep_rscale = jnp.pad(self._sweep_rscale, (0, grow))
+                    if self._sweep_err1 is not None:
+                        self._sweep_err1 = jnp.pad(self._sweep_err1, (0, grow))
                     if self._sweep_resid is not None:
                         self._sweep_resid = jnp.pad(self._sweep_resid, ((0, 0), (0, grow)))
-                        self._sweep_rscale = jnp.pad(self._sweep_rscale, (0, grow))
-                        self._sweep_err1 = jnp.pad(self._sweep_err1, (0, grow))
                 else:
                     self._data_t = self._build_mirror()  # first eligible capacity
                     self._rebuild_sweep_aux()
@@ -457,6 +487,12 @@ class NamespaceStore:
         )
         if self._data_t is not None:
             cols_j = jnp.asarray(self._mirror_cols(slots))
+            if self._data_t.dtype == jnp.int8:
+                self._data_t, self._sweep_rscale, self._sweep_err = _scatter_int8(
+                    self._data_t, self._sweep_rscale, self._sweep_err,
+                    slots_j, cols_j, vals_j,
+                )
+                return
             self._data_t = _scatter_cols_t(self._data_t, cols_j, vals_j)
             if self._sweep_resid is not None:
                 (self._sweep_err, self._sweep_err1, self._sweep_rscale,

@@ -218,3 +218,45 @@ def test_resid_mirror_tracks_mutations(rng):
     ns2.bulk_upsert(rng.standard_normal((4096, 16)).astype(np.float32))
     st2 = ns2.device_state()
     assert st2.sweep_resid is None and st2.sweep_err is not None
+
+
+def test_int8_sweep_config_end_to_end(rng, oracle):
+    """sweep_dtype="int8": the store maintains codes + dequant scales + error norms
+    through every mutation path, and engine results stay oracle-exact (the CPU scan
+    backend ignores the mirror; consistency is what this pins — the TPU kernel path
+    is covered in tests/test_pallas_t.py)."""
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8
+    from mlvectordb_tpu.store.namespace import NamespaceStore
+
+    cfg = EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="int8",
+        use_pallas=False,
+    )
+    ns = NamespaceStore("ns", cfg)
+
+    def check():
+        st = ns.device_state()
+        assert st.data_t is not None and st.data_t.dtype == jnp.int8
+        codes, rscale, err = quantize_int8(st.data)
+        np.testing.assert_array_equal(np.asarray(st.data_t), np.asarray(codes))
+        np.testing.assert_allclose(np.asarray(st.sweep_rscale), np.asarray(rscale), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(st.sweep_err), np.asarray(err), rtol=1e-4, atol=1e-9)
+        assert st.sweep_resid is None
+
+    ids = ns.bulk_upsert(rng.standard_normal((5000, 16)).astype(np.float32) * 2.0)
+    check()
+    ns.bulk_upsert(rng.standard_normal((4000, 16)).astype(np.float32))  # growth
+    check()
+    ns.delete(ids[:3000])  # trips compaction
+    check()
+    assert ns.offload() and ns.ensure_resident()
+    check()
+
+    # engine end-to-end stays oracle-exact with this config
+    qp = QueryProcessor(config=cfg)
+    vals = rng.standard_normal((4096, 16)).astype(np.float32)
+    got_ids = qp.bulk_load(vals, "ns")
+    q = rng.standard_normal(16).astype(np.float32)
+    _, oidx = oracle(q[None, :], vals, 5, "l2")
+    got = qp.find_similar(VectorDTO(q), top_k=5, namespace="ns", metric="l2")
+    assert [r["id"] for r in got] == [got_ids[i] for i in oidx[0]]

@@ -283,6 +283,11 @@ def test_warmup_precompiles_buckets(qp, rng):
     assert qp.get_namespace_count("ns") == 30
     assert (ns.version, ns.capacity, ns._high_water) == (version, capacity, hw)
     assert qp.warmup("missing") == 0
+    # detail mode: per-program compile-seconds report (the /warmup bill)
+    ran, report = qp.warmup("ns", ks=(3,), batches=(1,), metrics=("l2",), detail=True)
+    assert ran == 2 and set(report) == {"b4_k8_l2_fast", "b4_k8_l2_masked"}
+    assert all(isinstance(v, float) for v in report.values())
+    assert qp.warmup("missing", detail=True) == (0, {})
 
 
 def test_result_cache_not_resurrected_across_namespace_incarnations(qp, rng):

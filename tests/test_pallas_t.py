@@ -307,3 +307,60 @@ def test_residual_quantization_identities(rng):
     cols = sweep_cols_for_rows(np.arange(N))
     np.testing.assert_array_equal(resid_t[:, cols], z.T)
     np.testing.assert_array_equal(scale2, scale)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_int8_primary_sweep_certified_matches_oracle(rng, metric):
+    """sweep_dtype="int8": phase 1 ranks on per-row-scaled int8 codes at 1
+    byte/element; the certificate (per-window quantization-error bounds) keeps the
+    results set-exact vs the scan backend, escalating when int8 resolution is not
+    enough (VERDICT r3 #4)."""
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8
+
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    codes, rscale, qerr = quantize_int8(db)
+    assert codes.dtype == jnp.int8
+
+    dp, ipx = exact_knn_pallas_t(
+        q, codes, db, valid, sq, k=7, metric=metric, live_prefix=N,
+        sweep_err=qerr, rscale=rscale,
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=7, metric=metric, db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), (metric, b)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_int8_quantization_identities(rng):
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8, quantize_int8_rows
+
+    db = rng.standard_normal((N, D)).astype(np.float32) * 2.0
+    z, scale, err = map(np.asarray, quantize_int8_rows(jnp.asarray(db)))
+    rec = scale[:, None] * z
+    np.testing.assert_allclose(np.linalg.norm(db - rec, axis=1), err, rtol=1e-4, atol=1e-9)
+    assert np.abs(z).max() <= 127
+    codes_t, scale2, _ = map(np.asarray, quantize_int8(jnp.asarray(db)))
+    cols = sweep_cols_for_rows(np.arange(N))
+    np.testing.assert_array_equal(codes_t[:, cols], z.T)
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_same_dtype_bf16_sweep_single_pass_certified(rng, metric):
+    """DEEP config (bf16 store + bf16 sweep): the single-pass query with the
+    per-window norm bound must stay set-exact vs the scan backend over the SAME
+    bf16 rows (query rounding is the only phase-1/rescan mismatch)."""
+    db32, _ = _mk(rng)
+    db16 = db32.astype(jnp.bfloat16)
+    sq = jnp.sum(db16.astype(jnp.float32) ** 2, axis=-1)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    dp, ipx = exact_knn_pallas_t(
+        q, to_sweep_layout(db16), db16, valid, sq, k=7, metric=metric, live_prefix=N,
+    )
+    da, ia = exact_knn(q, db16, valid, sq, k=7, metric=metric, db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), (metric, b)
