@@ -454,29 +454,10 @@ def _select_and_rescan(
         else:
             l1_blk = _flat_rows(wmin3, w2i)               # [B, s2, R2]
         s1 = min(s, s2 * R2)
-        if s1 > 256 and s2 >= 8:
-            # LARGE-k refinement: the flat [B, s2*R2] selection costs ~O(W*k) in
-            # XLA top_k (measured ~11 ms at k=1000) — instead take each selected
-            # block's top-m windows with one narrow batched top_k (speculative:
-            # typical occupancy is ~1 window/block) and pair-sort the m*s2
-            # survivors.  Blocks holding more than m of the true top-s1 windows
-            # are caught by the floor: their unreturned windows are >= the block's
-            # m-th value, which feeds thresh, so the certificate escalates rather
-            # than silently missing (same contract as _topk_spec's speculation).
-            m = min(R2, max(4, -(-s1 // s2) + 2))
-            negm, posm = jax.lax.top_k(-l1_blk.reshape(B * s2, R2), m)
-            vals_m = (-negm).reshape(B, s2 * m)
-            pos_in_blk = posm.reshape(B, s2 * m)
-            v1, sel = _topk_min(vals_m, s1)
-            w2sel = jnp.take_along_axis(w2i, sel // m, axis=1)
-            p = w2sel * R2 + jnp.take_along_axis(pos_in_blk, sel, axis=1)
-            floor = jnp.min((-negm).reshape(B, s2, m)[:, :, -1], axis=1) if m < R2 \
-                else jnp.full((B,), jnp.inf, jnp.float32)
-        else:
-            l1_vals = l1_blk.reshape(B, s2 * R2)
-            v1, pos, floor = _topk_spec(l1_vals, s1)
-            w2sel = jnp.take_along_axis(w2i, pos // R2, axis=1)
-            p = w2sel * R2 + pos % R2                     # output positions
+        l1_vals = l1_blk.reshape(B, s2 * R2)
+        v1, pos, floor = _topk_spec(l1_vals, s1)
+        w2sel = jnp.take_along_axis(w2i, pos // R2, axis=1)
+        p = w2sel * R2 + pos % R2                         # output positions
         # unselected blocks >= s2-th block-min; unselected windows inside selected
         # blocks >= min(s1-th value, speculative floor)
         thresh = jnp.full((B,), jnp.inf, jnp.float32)
@@ -647,10 +628,16 @@ def _fused_t(
         if lossy_sweep and certify:
             # same-dtype bf16 single-pass query: the only phase-1/rescan mismatch
             # is the query's bf16 rounding — bounded per window by |qres| * ||d||
-            # (win_bounds' cosine scaling turns the norm term into exactly |qres|)
             qres_l2 = jnp.sqrt(jnp.sum(qres_f32 * qres_f32, axis=-1))
-            e_pos = (win_bounds(jnp.sqrt(sqn)),)
-            q_err = (qres_l2,)
+            if metric == "cosine":
+                # cosine normalizes the norm away: the bound is the CONSTANT
+                # |qres| per query, which shifts every window equally — selection
+                # order is unchanged, so fold it into the check instead of paying
+                # [B, P] adjustment passes (measured ~1.6 ms at DEEP scale)
+                err = err + qres_l2
+            else:
+                e_pos = (win_bounds(jnp.sqrt(sqn)),)
+                q_err = (qres_l2,)
     elif use_resid and sweep_err is not None and certify:
         # residual-corrected sweep: the remaining data-side error is the int8
         # quantizer's (sweep_err = ||delta - scale*z|| per row, ~2^-8 of the raw
@@ -757,10 +744,11 @@ def _pick_r1(batch: int, n_rows: int, k: int) -> int:
     elif k <= 256:
         r1 = 8
     else:
-        # large k: selection width s scales with k, so rescan bytes are s*r1 rows —
-        # narrow windows halve the gather; the certificate margin is r1-independent
-        # (window-min tail quantiles barely move between r1=1..4, measured)
-        r1 = 2
+        # large k: selection width s scales with k, so rescan bytes are s*r1 rows.
+        # r1=4 measured fastest end-to-end at k=1000 (10.8 ms vs r1=2's 14.1 and
+        # r1=8's 11.1, round-4 sel2 attribution): the smaller window-min matrix and
+        # half-as-many selected windows beat the 2x rescan payload
+        r1 = 4
     while r1 < R1MAX and batch * n_rows * 4 // r1 > (1 << 31):  # cap wmin at 2 GB
         r1 *= 2
     return r1
