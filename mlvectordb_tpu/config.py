@@ -100,13 +100,16 @@ class EngineConfig:
     # elsewhere (CPU simulation, interpret mode).
     use_pallas: bool = True
 
-    # Residual-corrected sweep (mixed f32-store/bf16-sweep configs only): keep an
-    # int8 quantization of each row's bf16 rounding residual alongside the mirror
-    # (+1 byte/element HBM, one extra VMEM matmul in phase 1).  Shrinks the
-    # exactness certificate's data-side error band ~2^-8x, so the certified fast
-    # tier passes even on tightly clustered corpora whose neighbour gaps sit far
-    # below the raw bf16 band — proof at margin-mode speed instead of a fallback
-    # scan (ops/pallas_knn_t._sweep_kernel).
+    # Residual-corrected sweep (lossy-sweep configs): keep an int8 quantization of
+    # each row's sweep-representation residual alongside the mirror (+1 byte/element
+    # HBM, one extra VMEM matmul in phase 1).  For the mixed f32-store/bf16-sweep
+    # config the codes encode delta = row - bf16(row); for sweep_dtype="int8" they
+    # encode delta1 = row - s1*z1 (two-level int8: 2 B/element total, the cheapest
+    # certified tier — less HBM *and* less MXU than bf16+resid at a comparable
+    # band).  Either way the exactness certificate's data-side error band shrinks
+    # ~2^-8x, so the certified fast tier passes even on tightly clustered corpora
+    # whose neighbour gaps sit far below the raw quantization band — proof at
+    # margin-mode speed instead of a fallback scan (ops/pallas_knn_t._sweep_kernel).
     sweep_resid: bool = True
 
     # Exactness certificate (ops/pallas_knn_t._fused_t): every bf16-sweep search

@@ -448,6 +448,7 @@ class QueryProcessor:
                     live_prefix=live_prefix, data_t=state.data_t,
                     sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
                     sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
+                    sweep_rscale2=state.sweep_rscale2,
                 )
         # ONE device->host transfer for both arrays: through the axon relay every
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately
@@ -816,6 +817,7 @@ class QueryProcessor:
                                 sweep_resid=state.sweep_resid,
                                 sweep_rscale=state.sweep_rscale,
                                 sweep_err1=state.sweep_err1,
+                                sweep_rscale2=state.sweep_rscale2,
                             )
                             # a REAL readback, not block_until_ready: through the
                             # axon relay block_until_ready returns early, so warmup

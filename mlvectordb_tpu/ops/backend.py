@@ -20,7 +20,7 @@ _warned = False
 
 def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None,
                   data_t=None, sweep_err=None, sweep_resid=None, sweep_rscale=None,
-                  sweep_err1=None):
+                  sweep_err1=None, sweep_rscale2=None):
     return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
 
 
@@ -38,7 +38,8 @@ def knn_backend(config: EngineConfig):
 
             def tpu_backend(q, data, valid, sq_norms, *, k, metric, db_tile,
                             live_prefix=None, data_t=None, sweep_err=None,
-                            sweep_resid=None, sweep_rscale=None, sweep_err1=None):
+                            sweep_resid=None, sweep_rscale=None, sweep_err1=None,
+                            sweep_rscale2=None):
                 # transposed sweep mirror present (config.sweep_dtype): roofline path —
                 # phase 1 reads data_t, the exact rescan reads the row-major store
                 if data_t is not None:
@@ -46,7 +47,8 @@ def knn_backend(config: EngineConfig):
                         q, data_t, data, valid, sq_norms,
                         k=k, metric=metric, live_prefix=live_prefix,
                         sweep_err=sweep_err, resid=sweep_resid,
-                        rscale=sweep_rscale, err1=sweep_err1, certify=certify,
+                        rscale=sweep_rscale, err1=sweep_err1, rscale2=sweep_rscale2,
+                        certify=certify,
                     )
                 return exact_knn_pallas(
                     q, data, valid, sq_norms,

@@ -133,6 +133,39 @@ def quantize_int8(data: jax.Array, shard_cap: int | None = None):
     return to_sweep_layout(z, shard_cap=shard_cap), scale, err
 
 
+def quantize_int8_resid_rows(vals: jax.Array):
+    """Two-level int8 quantization: row ~ s1*z1 + s2*z2 (1+1 bytes/element).
+
+    The residual-corrected PRIMARY-int8 sweep (sweep_dtype="int8" + sweep_resid):
+    z2 encodes delta1 = row - s1*z1 with its own per-row scale s2 <= s1/254, so the
+    remaining data-side band err2 = ||delta1 - s2*z2|| is ~2^-15 of the row's max
+    element — comparable to the bf16+int8-resid band at 2/3 the HBM bytes and one
+    fewer byte-stream (2 B/element total vs 3).  Returns
+    ``(z1 [n, Dp] int8, s1 [n] f32, z2 [n, Dp] int8, s2 [n] f32, err2 [n] f32,
+    err1 [n] f32)`` with err1 = ||delta1|| bounding the query-residual cross term."""
+    v32 = vals.astype(jnp.float32)
+    z1, s1, e1 = quantize_int8_rows(v32)
+    delta = v32 - s1[:, None] * z1.astype(jnp.float32)
+    s2 = jnp.max(jnp.abs(delta), axis=-1) / 127.0
+    safe = jnp.where(s2 > 0, s2, 1.0)[:, None]
+    z2 = jnp.clip(jnp.round(delta / safe), -127.0, 127.0)
+    z2 = jnp.where(s2[:, None] > 0, z2, 0.0)
+    rem = delta - s2[:, None] * z2
+    e2 = jnp.sqrt(jnp.sum(rem * rem, axis=-1))
+    return z1, s1, z2.astype(jnp.int8), s2, e2, e1
+
+
+def quantize_int8_resid(data: jax.Array, shard_cap: int | None = None):
+    """Whole-store two-level int8 sweep: ``(codes [Dp, cap] int8 sweep layout,
+    s1 [cap] f32, resid [Dp, cap] int8 sweep layout, s2 [cap] f32, err2 [cap] f32,
+    err1 [cap] f32)`` — see quantize_int8_resid_rows."""
+    z1, s1, z2, s2, e2, e1 = quantize_int8_resid_rows(data)
+    return (
+        to_sweep_layout(z1, shard_cap=shard_cap), s1,
+        to_sweep_layout(z2, shard_cap=shard_cap), s2, e2, e1,
+    )
+
+
 def quantize_resid_rows(vals: jax.Array):
     """Row-wise int8 residual quantization for MIXED f32-store/bf16-sweep configs.
 
@@ -518,7 +551,7 @@ def _select_and_rescan(
 )
 def _fused_t(
     q, data_t, rescan, valid, sq_norms, hw, sweep_err=None,
-    resid=None, rscale=None, err1=None,
+    resid=None, rscale=None, err1=None, rscale2=None,
     *, k, metric, r1, masked, q_tile, certify=True,
 ):
     """The whole search — prep, sweep, selection, rescan — as ONE dispatched program."""
@@ -570,10 +603,19 @@ def _fused_t(
     # margin mode skips the residual pass: it returns tier-1 unconditionally, so the
     # extra matmul/bandwidth would buy rank accuracy it never has to prove
     use_resid = (
-        certify and resid is not None and rscale is not None
-        and err1 is not None and bf_sweep
+        certify and resid is not None and rscale is not None and err1 is not None
+        and (bf_sweep or (int8_sweep and rscale2 is not None))
     )
-    rscale_row = sweep_rows_1d(rscale).reshape(1, cap) if use_resid else None
+    if use_resid:
+        # bf16 sweep: resid codes carry their own scale in ``rscale``.  int8 PRIMARY
+        # sweep: ``rscale`` is the primary dequant scale s1 (folded into scale_row
+        # above), so the kernel's correction multiplier must be the RATIO s2/s1 —
+        # rank = (z1.q + (z2.q)*(s2/s1)) * s1 = s1*z1.q + s2*z2.q.  s1 == 0 only for
+        # all-zero/unwritten rows, whose delta is zero too.
+        kr = rscale if bf_sweep else jnp.where(rscale > 0, rscale2 / rscale, 0.0)
+        rscale_row = sweep_rows_1d(kr).reshape(1, cap)
+    else:
+        rscale_row = None
     wmin = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
         scale_row, bias_row, q_tile=q_tile, g=g,
@@ -770,6 +812,7 @@ def exact_knn_pallas_t(
     resid: jax.Array | None = None,
     rscale: jax.Array | None = None,
     err1: jax.Array | None = None,
+    rscale2: jax.Array | None = None,
     certify: bool = True,
 ):
     """Window-major sweep exact kNN; same results contract as ops.topk.exact_knn.
@@ -789,6 +832,12 @@ def exact_knn_pallas_t(
     dequant scales, and [cap] f32 raw ``||delta||`` norms.  Phase 1 adds one VMEM
     matmul to recover qh . delta, shrinking the certified error band ~2^-8x so
     tier-1 certifies even on tightly clustered corpora.
+
+    ``rscale2``: for int8 PRIMARY sweeps (``data_t`` int8, quantize_int8_resid):
+    ``rscale`` is the primary dequant scale s1 and ``rscale2`` the residual scale
+    s2; ``resid`` then holds codes of delta1 = row - s1*z1 and ``sweep_err``/
+    ``err1`` the two-level quantizer's error norms.  Two int8 streams at
+    2 B/element total give a certified band comparable to bf16+resid's 3 B/element.
     """
     Dp, cap = data_t.shape
     B = q.shape[0]
@@ -809,5 +858,5 @@ def exact_knn_pallas_t(
     hw = jnp.int32(cap if masked else live_prefix)
     return _fused_t(
         q, data_t, rescan_data, valid, sq_norms, hw, sweep_err, resid, rscale, err1,
-        k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w, certify=certify,
+        rscale2, k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w, certify=certify,
     )

@@ -63,6 +63,10 @@ class DeviceState(NamedTuple):
     sweep_resid: Optional[jax.Array] = None
     sweep_rscale: Optional[jax.Array] = None
     sweep_err1: Optional[jax.Array] = None
+    # int8 PRIMARY sweep with residual correction (sweep_dtype="int8" + sweep_resid):
+    # sweep_rscale is the primary dequant scale s1 and sweep_rscale2 the residual
+    # scale s2 (row ~ s1*z1 + s2*z2, two int8 streams at 2 B/element total).
+    sweep_rscale2: Optional[jax.Array] = None
     # Host slot tables (ids, metadata, values) captured at publish time.  Hydration of
     # store-slot results MUST read all three from here — one atomic tuple — never from
     # the store's live attributes: compact() replaces the three lists wholesale, so a
@@ -123,6 +127,23 @@ def _scatter_int8(data_t, rscale, err, slots, cols, vals):
 
 
 @jax.jit
+def _scatter_int8_resid(data_t, rscale, resid_t, rscale2, err, err1, slots, cols, vals):
+    """Two-level int8 sweep (sweep_dtype="int8" + sweep_resid): quantize written rows
+    as s1*z1 + s2*z2 and scatter both code streams + scales + error norms."""
+    from ..ops.pallas_knn_t import quantize_int8_resid_rows
+
+    z1, s1, z2, s2, e2, e1 = quantize_int8_resid_rows(vals)
+    return (
+        data_t.at[:, cols].set(z1.T),
+        rscale.at[slots].set(s1),
+        resid_t.at[:, cols].set(z2.T),
+        rscale2.at[slots].set(s2),
+        err.at[slots].set(e2),
+        err1.at[slots].set(e1),
+    )
+
+
+@jax.jit
 def _scatter_resid(err, err1, rscale, resid_t, slots, cols, vals):
     """Maintain the int8 residual mirror + its scales/error norms in one scatter
     (residual-corrected sweep, config.sweep_resid)."""
@@ -175,6 +196,7 @@ class NamespaceStore:
         self._sweep_resid: Optional[jax.Array] = None   # [dpad, cap] int8 residual codes
         self._sweep_rscale: Optional[jax.Array] = None  # [cap] per-row dequant scales
         self._sweep_err1: Optional[jax.Array] = None    # [cap] raw ||delta|| norms
+        self._sweep_rscale2: Optional[jax.Array] = None  # [cap] resid scales (int8 sweep)
         # atomically-published snapshot tuple: readers must never assemble a state from
         # the individual attributes (a concurrent growth could interleave generations)
         self._state: Optional[DeviceState] = None
@@ -219,6 +241,9 @@ class NamespaceStore:
             total += self._data_t.size * self._data_t.dtype.itemsize
         if self._sweep_resid is not None:
             total += self._sweep_resid.size + self.capacity * 8  # codes + scale/err1
+        for aux in (self._sweep_rscale, self._sweep_rscale2):
+            if aux is not None:
+                total += aux.size * 4
         return total
 
     @property
@@ -257,6 +282,7 @@ class NamespaceStore:
             self._data_t = None  # cheap to rebuild from data on restore
             self._sweep_err = None
             self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
+            self._sweep_rscale2 = None
             self._state = None   # readers route through ensure_resident
             return True
 
@@ -290,6 +316,7 @@ class NamespaceStore:
             sweep_resid=self._sweep_resid,
             sweep_rscale=self._sweep_rscale,
             sweep_err1=self._sweep_err1,
+            sweep_rscale2=self._sweep_rscale2,
             host_tables=(self._slot_ids, self._slot_meta, self._slot_values)
             if self.host_mirror else None,
         )
@@ -341,8 +368,14 @@ class NamespaceStore:
     _resid_capable = True
 
     def _use_resid(self) -> bool:
-        """Residual-corrected sweep active (config.sweep_resid, mixed config only)."""
-        return self._resid_capable and self.config.sweep_resid and self._mixed_sweep()
+        """Residual-corrected sweep active (config.sweep_resid): mixed
+        f32-store/bf16-sweep configs (delta = row - bf16(row)) and int8 PRIMARY
+        sweeps (two-level codes, delta1 = row - s1*z1)."""
+        return (
+            self._resid_capable
+            and self.config.sweep_resid
+            and (self._mixed_sweep() or self._int8_sweep())
+        )
 
     def _build_mirror(self):
         """(Re)build the window-major sweep mirror from the current device matrix."""
@@ -369,11 +402,18 @@ class NamespaceStore:
         """(Re)derive every certificate-side array from the current device matrix —
         must run whenever _data_t is rebuilt wholesale (compact, restore, regrow)."""
         self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
+        self._sweep_rscale2 = None
         if self._use_resid() and self._data_t is not None:
-            from ..ops.pallas_knn_t import quantize_resid
+            if self._int8_sweep():
+                from ..ops.pallas_knn_t import quantize_int8_resid
 
-            (self._sweep_resid, self._sweep_rscale,
-             self._sweep_err, self._sweep_err1) = quantize_resid(self._data)
+                (_, self._sweep_rscale, self._sweep_resid, self._sweep_rscale2,
+                 self._sweep_err, self._sweep_err1) = quantize_int8_resid(self._data)
+            else:
+                from ..ops.pallas_knn_t import quantize_resid
+
+                (self._sweep_resid, self._sweep_rscale,
+                 self._sweep_err, self._sweep_err1) = quantize_resid(self._data)
         elif self._int8_sweep() and self._data_t is not None:
             from ..ops.pallas_knn_t import quantize_int8_rows
 
@@ -401,6 +441,10 @@ class NamespaceStore:
                     self._sweep_err = jnp.zeros((new_cap,), jnp.float32)
                     if self._int8_sweep():
                         self._sweep_rscale = jnp.zeros((new_cap,), jnp.float32)
+                        if self._use_resid():
+                            self._sweep_resid = jnp.zeros((self.dpad, new_cap), jnp.int8)
+                            self._sweep_rscale2 = jnp.zeros((new_cap,), jnp.float32)
+                            self._sweep_err1 = jnp.zeros((new_cap,), jnp.float32)
                     elif self._use_resid():
                         self._sweep_resid = jnp.zeros((self.dpad, new_cap), jnp.int8)
                         self._sweep_rscale = jnp.zeros((new_cap,), jnp.float32)
@@ -420,6 +464,8 @@ class NamespaceStore:
                         self._sweep_err = jnp.pad(self._sweep_err, (0, grow))
                     if self._sweep_rscale is not None:
                         self._sweep_rscale = jnp.pad(self._sweep_rscale, (0, grow))
+                    if self._sweep_rscale2 is not None:
+                        self._sweep_rscale2 = jnp.pad(self._sweep_rscale2, (0, grow))
                     if self._sweep_err1 is not None:
                         self._sweep_err1 = jnp.pad(self._sweep_err1, (0, grow))
                     if self._sweep_resid is not None:
@@ -431,6 +477,7 @@ class NamespaceStore:
                 self._data_t = None
                 self._sweep_err = None
                 self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
+                self._sweep_rscale2 = None
 
     def _grow_host_tables(self, new_cap: int) -> None:
         self._slot_ids.extend([None] * (new_cap - len(self._slot_ids)))
@@ -488,6 +535,15 @@ class NamespaceStore:
         if self._data_t is not None:
             cols_j = jnp.asarray(self._mirror_cols(slots))
             if self._data_t.dtype == jnp.int8:
+                if self._sweep_resid is not None:
+                    (self._data_t, self._sweep_rscale, self._sweep_resid,
+                     self._sweep_rscale2, self._sweep_err,
+                     self._sweep_err1) = _scatter_int8_resid(
+                        self._data_t, self._sweep_rscale, self._sweep_resid,
+                        self._sweep_rscale2, self._sweep_err, self._sweep_err1,
+                        slots_j, cols_j, vals_j,
+                    )
+                    return
                 self._data_t, self._sweep_rscale, self._sweep_err = _scatter_int8(
                     self._data_t, self._sweep_rscale, self._sweep_err,
                     slots_j, cols_j, vals_j,

@@ -220,6 +220,61 @@ def test_resid_mirror_tracks_mutations(rng):
     assert st2.sweep_resid is None and st2.sweep_err is not None
 
 
+def test_int8_resid_mirror_tracks_mutations(rng):
+    """Two-level int8 sweep (sweep_dtype="int8" + sweep_resid, the default): codes,
+    scales, and error norms for BOTH streams must equal a fresh whole-store
+    quantization after every mutation path."""
+    from mlvectordb_tpu.store.namespace import NamespaceStore
+
+    cfg = EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="int8",
+        use_pallas=False,
+    )
+    ns = NamespaceStore("ns", cfg)
+
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_cols_for_rows
+
+    def check():
+        # Exact code equality across mutation paths is NOT guaranteed (the scatter
+        # and the wholesale rebuild are different jit programs, and XLA's FMA
+        # fusion can flip round() by one unit near ties).  What the certificate's
+        # soundness needs is that the PUBLISHED error norms bound the PUBLISHED
+        # codes' true reconstruction error — that is what this pins, in f64.
+        st = ns.device_state()
+        assert st.data_t is not None and st.data_t.dtype == jnp.int8
+        assert st.sweep_resid is not None and st.sweep_resid.dtype == jnp.int8
+        data = np.asarray(st.data, np.float64)
+        cols = sweep_cols_for_rows(np.arange(data.shape[0]))
+        z1 = np.asarray(st.data_t, np.float64)[:, cols].T
+        z2 = np.asarray(st.sweep_resid, np.float64)[:, cols].T
+        s1 = np.asarray(st.sweep_rscale, np.float64)[:, None]
+        s2 = np.asarray(st.sweep_rscale2, np.float64)[:, None]
+        e2 = np.asarray(st.sweep_err, np.float64)
+        e1 = np.asarray(st.sweep_err1, np.float64)
+        true_e2 = np.linalg.norm(data - s1 * z1 - s2 * z2, axis=1)
+        true_e1 = np.linalg.norm(data - s1 * z1, axis=1)
+        # published bounds must cover the actual error (small atol: the published
+        # norms were accumulated in f32)
+        assert np.all(true_e2 <= e2 * (1 + 1e-3) + 1e-7), "sweep_err understates the codes' error"
+        np.testing.assert_allclose(true_e1, e1, rtol=1e-3, atol=1e-7)
+        live = e1 > 1e-12
+        assert np.all(e2[live] <= e1[live] * 0.02 + 1e-12), "resid codes should kill ~99% of the band"
+
+    ids = ns.bulk_upsert(rng.standard_normal((5000, 16)).astype(np.float32) * 2.0)
+    check()
+    from mlvectordb_tpu.store.vector import Vector
+
+    ns.upsert([Vector(rng.standard_normal(16).astype(np.float32), {}, id=ids[7])])
+    check()
+    ns.bulk_upsert(rng.standard_normal((4000, 16)).astype(np.float32))  # growth
+    check()
+    ns.delete(ids[:3000])  # trips compaction
+    check()
+    assert ns.offload()
+    assert ns.ensure_resident()
+    check()
+
+
 def test_int8_sweep_config_end_to_end(rng, oracle):
     """sweep_dtype="int8": the store maintains codes + dequant scales + error norms
     through every mutation path, and engine results stay oracle-exact (the CPU scan
@@ -230,7 +285,7 @@ def test_int8_sweep_config_end_to_end(rng, oracle):
 
     cfg = EngineConfig(
         initial_capacity=4096, capacity_multiple=4096, sweep_dtype="int8",
-        use_pallas=False,
+        sweep_resid=False, use_pallas=False,
     )
     ns = NamespaceStore("ns", cfg)
 

@@ -335,6 +335,67 @@ def test_int8_primary_sweep_certified_matches_oracle(rng, metric):
     )
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_int8_resid_sweep_certified_matches_oracle_on_clustered(rng, metric):
+    """Two-level int8 sweep (primary codes + residual codes, 2 B/element total):
+    tier-1 must certify and match the f32 oracle on tightly clustered data — the
+    same contract as the bf16+resid config at 2/3 the phase-1 bytes."""
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8_resid
+
+    K = 10
+    centers = rng.standard_normal((16, D)).astype(np.float32) * 4.0
+    assign = rng.integers(0, 16, N)
+    db_np = centers[assign] + rng.standard_normal((N, D)).astype(np.float32) * 0.02
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q_np = (centers[rng.integers(0, 16, 8)]
+            + rng.standard_normal((8, D)).astype(np.float32) * 0.02)
+    q = jnp.asarray(q_np)
+    valid = jnp.ones((N,), jnp.bool_)
+    codes, s1, resid, s2, e2, e1 = quantize_int8_resid(db)
+    assert codes.dtype == jnp.int8 and resid.dtype == jnp.int8
+
+    dp, ipx = exact_knn_pallas_t(
+        q, codes, db, valid, sq, k=K, metric=metric, live_prefix=N,
+        sweep_err=e2, resid=resid, rscale=s1, err1=e1, rscale2=s2,
+    )
+    dp = np.asarray(dp)
+    da, ia = exact_knn(q, db, valid, sq, k=K, metric=metric, db_tile=DB_TILE)
+    da = np.asarray(da)
+    for b in range(8):
+        # ties make index sets ambiguous on clustered data: gate on distances
+        np.testing.assert_allclose(np.sort(dp[b]), np.sort(da[b]), rtol=1e-4, atol=1e-5)
+
+
+def test_int8_resid_quantization_identities(rng):
+    """quantize_int8_resid invariants: two-level reconstruction error matches err2,
+    err1 matches the primary quantizer's error, layouts match sweep_cols_for_rows,
+    and the residual codes kill ~99% of the primary band."""
+    from mlvectordb_tpu.ops.pallas_knn_t import (
+        quantize_int8_resid,
+        quantize_int8_resid_rows,
+    )
+
+    db = rng.standard_normal((N, D)).astype(np.float32) * 3.0
+    z1, s1, z2, s2, e2, e1 = map(np.asarray, quantize_int8_resid_rows(jnp.asarray(db)))
+    delta1 = db - s1[:, None] * z1
+    np.testing.assert_allclose(np.linalg.norm(delta1, axis=1), e1, rtol=1e-4, atol=1e-9)
+    rec = s1[:, None] * z1 + s2[:, None] * z2
+    # e2 norms are ~1e-4 of the row scale: recomputing them in a different f32
+    # summation order wobbles the last couple of bits, hence the loose rtol
+    np.testing.assert_allclose(np.linalg.norm(db - rec, axis=1), e2, rtol=2e-3, atol=1e-8)
+    live = e1 > 0
+    assert np.all(e2[live] <= e1[live] * 0.02 + 1e-12), "resid codes should kill ~99% of the band"
+    assert np.abs(z1).max() <= 127 and np.abs(z2).max() <= 127
+
+    c1, s1b, c2, s2b, _, _ = map(np.asarray, quantize_int8_resid(jnp.asarray(db)))
+    cols = sweep_cols_for_rows(np.arange(N))
+    np.testing.assert_array_equal(c1[:, cols], z1.T)
+    np.testing.assert_array_equal(c2[:, cols], z2.T)
+    np.testing.assert_array_equal(s1b, s1)
+    np.testing.assert_array_equal(s2b, s2)
+
+
 def test_int8_quantization_identities(rng):
     from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8, quantize_int8_rows
 
