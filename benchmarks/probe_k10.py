@@ -84,12 +84,15 @@ def main():
         print(f"phase1 {name}: {t*1e3:7.3f} ms  ({gbs:6.0f} GB/s)  runs={['%.2f'%(x*1e3) for x in ts]}", flush=True)
 
     # ---- full fused ------------------------------------------------------------
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8_resid
+
+    z1r, s1r, z2r, s2r, e2r, e1r = quantize_int8_resid(data)
     cases = {
         "bf16 margin     ": (dict(), dict(sweep_err=serr_bf), False, dbt_bf),
         "bf16 cert       ": (dict(), dict(sweep_err=serr_bf), True, dbt_bf),
         "bf16+resid cert ": (dict(), dict(sweep_err=err2, resid=resid, rscale=rscale, err1=err1), True, dbt_bf),
         "int8 margin     ": (dict(), dict(sweep_err=e8, rscale=s8), False, z8),
-        "int8 cert       ": (dict(), dict(sweep_err=e8, rscale=s8), True, z8),
+        "int8+resid cert ": (dict(), dict(sweep_err=e2r, resid=z2r, rscale=s1r, err1=e1r, rscale2=s2r), True, z1r),
     }
 
     sq_np = (data_np ** 2).sum(-1)

@@ -796,6 +796,10 @@ class RestAPI:
                 tuple(payload.get("batches", (1, 8, 128))),
                 tuple(payload.get("metrics", ("l2", "cosine"))),
                 True,  # detail: per-program compile seconds (VERDICT r3 #5)
+                # None = auto (masked variant only when tombstones exist); pass
+                # true when serving metadata-FILTERED queries (they always take
+                # the masked kernel)
+                payload.get("include_masked"),
             )
             return _json({
                 "status": "success",

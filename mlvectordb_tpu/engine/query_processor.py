@@ -745,6 +745,7 @@ class QueryProcessor:
         batches: Optional[Sequence[int]] = None,
         metrics: Sequence[str] = ("l2", "cosine"),
         detail: bool = False,
+        include_masked: Optional[bool] = None,
     ):
         """Pre-compile the search programs a serving deployment will hit.
 
@@ -762,6 +763,14 @@ class QueryProcessor:
         ``batches`` defaults to EVERY config batch bucket up to 512 — the micro-batcher
         coalesces concurrent singles into any of them, and one unwarmed bucket
         serializes all traffic behind a multi-minute compile (round-3 load test).
+
+        ``include_masked``: warm the masked-kernel variant (tombstones / metadata
+        filters present).  Default None = auto: masked programs are warmed only when
+        the namespace already carries tombstones — a tombstone-free deployment's
+        search traffic dispatches the fast live-prefix variant exclusively, so
+        skipping masked halves the compile bill (VERDICT r3 #5).  Deployments that
+        serve metadata-FILTERED queries should pass True: filters always take the
+        masked variant, and its first compile otherwise lands on query traffic.
         """
         ns = self.storage.namespace(namespace)
         if ns is None or ns.live_count == 0:
@@ -769,6 +778,9 @@ class QueryProcessor:
         if batches is None:
             batches = [b for b in self.config.query_buckets if b <= 512] or [8]
         state = ns.device_state()
+        if include_masked is None:
+            include_masked = state.live_count != state.high_water
+        variants = (None, state.high_water) if include_masked else (state.high_water,)
         # Warm BOTH kernel variants — fast (live-prefix, no tombstones) and masked
         # (tombstones/filters present) — by dispatching the backend directly against the
         # namespace's published snapshot.  Compilation keys on shapes/static args only,
@@ -797,7 +809,7 @@ class QueryProcessor:
 
                         jobs[key] = job
                         continue
-                    for live_prefix in (None, state.high_water):
+                    for live_prefix in variants:
                         key = f"b{Bb}_k{kb}_{mc}_{'masked' if live_prefix is None else 'fast'}"
                         if key in jobs:
                             continue

@@ -275,19 +275,29 @@ def test_warmup_precompiles_buckets(qp, rng):
     qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32)) for _ in range(30)], "ns")
     ns = qp.storage.namespace("ns")
     version, capacity, hw = ns.version, ns.capacity, ns._high_water
+    # no tombstones yet: auto mode warms the fast live-prefix variant only — the
+    # masked kernel is unreachable for plain kNN traffic here (VERDICT r3 #5)
     ran = qp.warmup("ns", ks=(3,), batches=(1, 16), metrics=("l2",))
-    assert ran == 4  # 2 distinct batch buckets x 2 kernel variants (fast + masked)
+    assert ran == 2  # 2 distinct batch buckets x fast variant
+    # filtered-query deployments opt the masked variant in explicitly
+    assert qp.warmup("ns", ks=(3,), batches=(1, 16), metrics=("l2",), include_masked=True) == 4
     # batches that land in the SAME bucket compile the same program: deduped
-    assert qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",)) == 2
+    assert qp.warmup("ns", ks=(3,), batches=(1, 4), metrics=("l2",)) == 1
     # warmup is strictly side-effect-free: no sentinel insert/delete/compaction
     assert qp.get_namespace_count("ns") == 30
     assert (ns.version, ns.capacity, ns._high_water) == (version, capacity, hw)
     assert qp.warmup("missing") == 0
     # detail mode: per-program compile-seconds report (the /warmup bill)
-    ran, report = qp.warmup("ns", ks=(3,), batches=(1,), metrics=("l2",), detail=True)
+    ran, report = qp.warmup("ns", ks=(3,), batches=(1,), metrics=("l2",),
+                            detail=True, include_masked=True)
     assert ran == 2 and set(report) == {"b4_k8_l2_fast", "b4_k8_l2_masked"}
     assert all(isinstance(v, float) for v in report.values())
     assert qp.warmup("missing", detail=True) == (0, {})
+    # tombstones present: serving dispatches the masked variant, so auto warms it
+    vs = qp.upsert_many([dto(rng.standard_normal(8).astype(np.float32))], "ns")
+    qp.delete([vs[0].id], "ns")
+    if qp.storage.namespace("ns")._high_water != qp.get_namespace_count("ns"):
+        assert qp.warmup("ns", ks=(3,), batches=(1,), metrics=("l2",)) == 2
 
 
 def test_result_cache_not_resurrected_across_namespace_incarnations(qp, rng):
