@@ -122,6 +122,16 @@ class EngineConfig:
     # (the round-2 contract) — a documented speed/proof trade.
     certify_exact: bool = True
 
+    # Adaptive certified dispatch (mixed bf16-sweep configs): serve each namespace
+    # with the LIGHT single-pass certified program first — one MXU pass, no residual
+    # stream; the certificate carries the uncompensated query-rounding term per
+    # window — and switch the namespace to the heavy residual-corrected program
+    # permanently once an escalation shows its corpus gaps sit under the light
+    # band.  Escalations are proof-gated (exact results, just slower), and the
+    # heavy program compiles in a background thread before the switch so no query
+    # stalls on it.  False = always dispatch the heavy program (round-4 behavior).
+    adaptive_certify: bool = True
+
     # Query-result cache entries (0 disables).  Keyed by namespace version, so any
     # mutation invalidates implicitly.  Realizes the result caching the reference README
     # advertises but never shipped (SURVEY.md §0.1).

@@ -23,6 +23,7 @@ snapshot save/load.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 import uuid as uuid_mod
@@ -41,6 +42,8 @@ from ..store.vector import Vector
 from ..utils.tracing import trace_span
 from ..filters import filter_cache_key
 from .filters import FilterMaskCache
+
+logger = logging.getLogger(__name__)
 
 
 def _hydrate_native():
@@ -86,6 +89,13 @@ class QueryProcessor:
         self.storage = storage if storage is not None else StorageEngine(config)
         self._filter_masks = FilterMaskCache()
         self.stats = QueryStats()
+        # per-namespace certificate-tier counters (see _record_cert_tier)
+        self._cert_tiers: Dict[str, Dict[str, int]] = {}
+        # adaptive certified dispatch (config.adaptive_certify): namespaces start on
+        # the LIGHT single-pass certified program; an escalation flips them to the
+        # heavy residual-corrected one after a background warm (see _use_light)
+        self._cert_mode: Dict[str, str] = {}
+        self._heavy_warms: set = set()
         self._write_lock = threading.RLock()  # single-writer discipline (SURVEY.md §7)
         # query-result cache (the reference README advertises result caching it never
         # shipped — SURVEY.md §0.1).  Keyed by namespace VERSION, so any mutation
@@ -427,6 +437,7 @@ class QueryProcessor:
         q_pad[:B, : ns.dim] = q_np
 
         self.transfer_counts["h2d"] += 1
+        tier_dev = None
         if hasattr(ns, "sharded_search"):  # distributed namespace: cross-shard reduction
             with trace_span("knn_sharded", namespace=namespace, k=kb, batch=Bb):
                 dist, idx = ns.sharded_search(
@@ -441,24 +452,118 @@ class QueryProcessor:
                 live_prefix = state.high_water
 
             backend = knn_backend(self.config)
+            # request the certificate-tier scalar on certified configs: it rides in
+            # the SAME device fetch (no extra round trip) and feeds the per-namespace
+            # escalation counters in /statistics
+            want_tier = bool(self.config.certify_exact) and state.data_t is not None
+            use_light = self._use_light(namespace, state)
             with trace_span("knn_kernel", namespace=namespace, k=kb, batch=Bb):
-                dist, idx = backend(
+                out = backend(
                     jnp.asarray(q_pad), state.data, valid, state.sq_norms,
                     k=kb, metric=metric, db_tile=self.config.db_tile,
                     live_prefix=live_prefix, data_t=state.data_t,
                     sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
                     sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
-                    sweep_rscale2=state.sweep_rscale2,
+                    sweep_rscale2=state.sweep_rscale2, report_tier=want_tier,
+                    sweep_light=use_light,
                 )
+                dist, idx = out[:2]
+                tier_dev = out[2] if want_tier else None
         # ONE device->host transfer for both arrays: through the axon relay every
         # readback costs a full ~28 ms RTT, so fetching dist and idx separately
         # doubles the engine's per-batch latency for no reason
         self.transfer_counts["d2h"] += 1
-        dist, idx = jax.device_get((dist, idx))
+        if tier_dev is not None:
+            dist, idx, tier = jax.device_get((dist, idx, tier_dev))
+            self._record_cert_tier(namespace, int(tier), light=use_light)
+            if use_light and int(tier) == 2:
+                # the light band is too wide for this corpus: warm the heavy
+                # residual-corrected program in the background, then switch the
+                # namespace to it permanently (results stayed exact throughout —
+                # escalation costs speed, never correctness)
+                self._warm_heavy_then_switch(
+                    namespace, state, Bb, kb, metric, live_prefix,
+                    None if filter is None else valid,
+                )
+        else:
+            dist, idx = jax.device_get((dist, idx))
         # None resolver = store slots; host_tables = the SNAPSHOT's generation of the
         # id/meta/value lists, so hydration can never mix generations with a racing
         # compaction (ADVICE r2)
         return dist[:B, :k_eff], idx[:B, :k_eff], ns, None, state.host_tables
+
+    # certificate-tier names, indexed by the kernel's scalar (ops/pallas_knn_t)
+    _TIER_NAMES = {0: "fast", 1: "widened", 2: "exact_scan", -1: "disengaged"}
+
+    def _record_cert_tier(self, namespace: str, tier: int, light: bool = False) -> None:
+        """Count which certificate tier served each batch (per namespace): operators
+        see escalation rates in /statistics, and a namespace that keeps escalating is
+        the signal that its corpus needs the residual-corrected sweep config."""
+        name = self._TIER_NAMES.get(tier, str(tier))
+        if light:
+            name = f"light_{name}"
+        with self.stats._lock:
+            d = self._cert_tiers.setdefault(namespace, {})
+            d[name] = d.get(name, 0) + 1
+
+    def cert_tier_counts(self, namespace: str) -> Dict[str, int]:
+        with self.stats._lock:
+            return dict(self._cert_tiers.get(namespace, {}))
+
+    def _use_light(self, namespace: str, state) -> bool:
+        """Adaptive certified dispatch (config.adaptive_certify): serve the namespace
+        with the LIGHT single-pass certified program — one MXU pass, no residual
+        stream; the proof carries the uncompensated query-rounding term per window —
+        until an escalation shows its corpus needs the heavy residual-corrected
+        program.  Only mixed bf16-sweep stores have both variants (the int8 primary
+        band is too wide for the light proof by construction)."""
+        if not (self.config.certify_exact and self.config.adaptive_certify):
+            return False
+        if (
+            state.sweep_resid is None
+            or state.data_t is None
+            or state.data_t.dtype != jnp.bfloat16
+        ):
+            return False
+        return self._cert_mode.get(namespace, "light") == "light"
+
+    def _warm_heavy_then_switch(
+        self, namespace, state, Bb, kb, metric, live_prefix, valid_override
+    ) -> None:
+        """Compile the heavy residual-corrected program in a daemon thread, then flip
+        the namespace's dispatch to it.  Queries keep using the light program (exact
+        via escalation) until the heavy one is ready, so nobody stalls on the
+        multi-second compile (the round-3 load test showed what happens otherwise)."""
+        with self.stats._lock:
+            if namespace in self._heavy_warms or self._cert_mode.get(namespace) == "heavy":
+                return
+            self._heavy_warms.add(namespace)
+
+        backend = knn_backend(self.config)
+        valid = state.valid if valid_override is None else valid_override
+
+        def run():
+            try:
+                d, _ = backend(
+                    jnp.zeros((Bb, state.data.shape[1]), jnp.float32),
+                    state.data, valid, state.sq_norms,
+                    k=kb, metric=metric, db_tile=self.config.db_tile,
+                    live_prefix=live_prefix, data_t=state.data_t,
+                    sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
+                    sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
+                    sweep_rscale2=state.sweep_rscale2, report_tier=True,
+                    sweep_light=False,
+                )[:2]
+                np.asarray(jax.device_get(d[:1, :1]))  # force real completion
+                with self.stats._lock:
+                    self._cert_mode[namespace] = "heavy"
+            except Exception:  # pragma: no cover - compile failure: stay light
+                logger.exception("heavy certified program warm failed for %r", namespace)
+            finally:
+                with self.stats._lock:
+                    self._heavy_warms.discard(namespace)
+
+        threading.Thread(target=run, name=f"mlvdb-heavy-warm-{namespace}", daemon=True).start()
 
     def _to_user_score(self, dist: np.ndarray, metric: str) -> np.ndarray:
         # reference convention (index.py:121-128): cosine -> 1 - dist; else raw distance
@@ -717,6 +822,14 @@ class QueryProcessor:
             "exact": not margin_mode,
             "certified": bool(self.config.certify_exact),
             "exactness_contract": contract,
+            # which certificate tier served past batches on this namespace (empty
+            # until certified searches have run; see /statistics for all namespaces)
+            "certificate_tiers": self.cert_tier_counts(namespace),
+            # adaptive dispatch state: "light" single-pass proof vs "heavy"
+            # residual-corrected proof (config.adaptive_certify)
+            "certificate_dispatch": self._cert_mode.get(namespace, "light")
+            if (self.config.certify_exact and self.config.adaptive_certify)
+            else ("heavy" if self.config.certify_exact else "margin"),
             "expected_recall": None if margin_mode else 1.0,
             "live_vectors": live,
             "scanned_slots": cap,
@@ -736,6 +849,14 @@ class QueryProcessor:
             "certify_exact": bool(self.config.certify_exact),
             "contract": "certified" if self.config.certify_exact else "margin",
         }
+        with self.stats._lock:
+            if self._cert_tiers:
+                # which certificate tier served each batch, per namespace — a
+                # namespace dominated by "exact_scan" is escalating every batch
+                # (its corpus gaps sit under the sweep error band)
+                out["exactness"]["tiers_by_namespace"] = {
+                    ns: dict(d) for ns, d in self._cert_tiers.items()
+                }
         return out
 
     def warmup(
@@ -830,7 +951,13 @@ class QueryProcessor:
                                 sweep_rscale=state.sweep_rscale,
                                 sweep_err1=state.sweep_err1,
                                 sweep_rscale2=state.sweep_rscale2,
-                            )
+                                # warm the variant serving will DISPATCH (adaptive
+                                # light vs heavy + the tier scalar) — a different
+                                # specialization would leave first queries cold
+                                report_tier=bool(self.config.certify_exact)
+                                and state.data_t is not None,
+                                sweep_light=self._use_light(namespace, state),
+                            )[:2]
                             # a REAL readback, not block_until_ready: through the
                             # axon relay block_until_ready returns early, so warmup
                             # would report success while the compiles still queue —

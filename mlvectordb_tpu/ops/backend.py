@@ -20,8 +20,14 @@ _warned = False
 
 def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None,
                   data_t=None, sweep_err=None, sweep_resid=None, sweep_rscale=None,
-                  sweep_err1=None, sweep_rscale2=None):
-    return exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
+                  sweep_err1=None, sweep_rscale2=None, report_tier=False,
+                  sweep_light=False):
+    d, i = exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
+    if report_tier:
+        import jax.numpy as jnp
+
+        return d, i, jnp.int32(-1)  # no certificate ran: the scan IS the exact path
+    return d, i
 
 
 _scan_backend.__name__ = "exact_knn_scan"
@@ -39,7 +45,7 @@ def knn_backend(config: EngineConfig):
             def tpu_backend(q, data, valid, sq_norms, *, k, metric, db_tile,
                             live_prefix=None, data_t=None, sweep_err=None,
                             sweep_resid=None, sweep_rscale=None, sweep_err1=None,
-                            sweep_rscale2=None):
+                            sweep_rscale2=None, report_tier=False, sweep_light=False):
                 # transposed sweep mirror present (config.sweep_dtype): roofline path —
                 # phase 1 reads data_t, the exact rescan reads the row-major store
                 if data_t is not None:
@@ -48,12 +54,17 @@ def knn_backend(config: EngineConfig):
                         k=k, metric=metric, live_prefix=live_prefix,
                         sweep_err=sweep_err, resid=sweep_resid,
                         rscale=sweep_rscale, err1=sweep_err1, rscale2=sweep_rscale2,
-                        certify=certify,
+                        certify=certify, report_tier=report_tier, light=sweep_light,
                     )
-                return exact_knn_pallas(
+                d, i = exact_knn_pallas(
                     q, data, valid, sq_norms,
                     k=k, metric=metric, db_tile=db_tile, live_prefix=live_prefix,
                 )
+                if report_tier:
+                    import jax.numpy as jnp
+
+                    return d, i, jnp.int32(-1)  # row-major margin kernel: no certificate
+                return d, i
 
             tpu_backend.__name__ = "exact_knn_pallas"
             return tpu_backend

@@ -547,12 +547,13 @@ def _select_and_rescan(
 # ------------------------------------------------------------------ fused program
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "r1", "masked", "q_tile", "certify")
+    jax.jit,
+    static_argnames=("k", "metric", "r1", "masked", "q_tile", "certify", "light"),
 )
 def _fused_t(
     q, data_t, rescan, valid, sq_norms, hw, sweep_err=None,
     resid=None, rscale=None, err1=None, rscale2=None,
-    *, k, metric, r1, masked, q_tile, certify=True,
+    *, k, metric, r1, masked, q_tile, certify=True, light=False,
 ):
     """The whole search — prep, sweep, selection, rescan — as ONE dispatched program."""
     Dp, cap = data_t.shape
@@ -598,12 +599,20 @@ def _fused_t(
     op_dtype = jnp.bfloat16 if int8_sweep else data_t.dtype
     qh = q_fold.astype(op_dtype)
     qres_f32 = q_fold - qh.astype(jnp.float32)
-    qres = qres_f32.astype(op_dtype) if (lossy_sweep and mixed) else None
+    # ``light``: single-pass certified tier — skip the query-compensation matmul AND
+    # the residual stream; the certificate instead carries the uncompensated
+    # query-rounding term per window (|qres . d| <= |qres| * ||d||) alongside the
+    # RAW data band.  On benign corpora tier-1 still certifies and phase 1 runs at
+    # one MXU pass / no resid bytes; adversarial corpora escalate (speed, never
+    # correctness) — the engine's adaptive dispatch then switches the namespace to
+    # the heavy program (engine/query_processor._pick_light).
+    qres = qres_f32.astype(op_dtype) if (lossy_sweep and mixed and not light) else None
 
     # margin mode skips the residual pass: it returns tier-1 unconditionally, so the
     # extra matmul/bandwidth would buy rank accuracy it never has to prove
     use_resid = (
-        certify and resid is not None and rscale is not None and err1 is not None
+        certify and not light
+        and resid is not None and rscale is not None and err1 is not None
         and (bf_sweep or (int8_sweep and rscale2 is not None))
     )
     if use_resid:
@@ -680,6 +689,23 @@ def _fused_t(
             else:
                 e_pos = (win_bounds(jnp.sqrt(sqn)),)
                 q_err = (qres_l2,)
+    elif light and certify and (err1 is not None or sweep_err is not None):
+        # LIGHT certified tier (mixed configs, single pass): the data band is the
+        # RAW representation error — err1 (||row - bf16(row)|| or ||row - s1*z1||)
+        # when the store maintains residual arrays (its sweep_err is then the
+        # post-correction band, which this tier does NOT earn), else sweep_err.
+        # The query side is uncompensated: |qres . d| <= |qres| * ||d|| per window
+        # (cosine: the norms cancel — a constant |qres| per query, folded into err).
+        data_band = err1 if err1 is not None else sweep_err
+        qres_l2 = jnp.sqrt(jnp.sum(qres_f32 * qres_f32, axis=-1))
+        if metric == "cosine":
+            e_pos = (win_bounds(data_band),)
+            q_err = (qh_l2,)
+            err = slack + qres_l2
+        else:
+            e_pos = (win_bounds(data_band), win_bounds(jnp.sqrt(sqn)))
+            q_err = (qh_l2, qres_l2)
+            err = slack
     elif use_resid and sweep_err is not None and certify:
         # residual-corrected sweep: the remaining data-side error is the int8
         # quantizer's (sweep_err = ||delta - scale*z|| per row, ~2^-8 of the raw
@@ -696,6 +722,8 @@ def _fused_t(
         err = slack                                       # data-side error lives in e_pos
     else:  # worst-case elementwise bound; tier-1 widens to compensate
         rel = 2.0 ** -7 if int8_sweep else 2.0 ** -9
+        if light:
+            rel *= 2.0  # single pass: the query-side rounding is uncompensated too
         err = rel * qh_l2 * (1.0 if metric == "cosine" else maxd) + slack
 
     def check_exact(best_d, thresh):  # [B] bool; must not shadow the `certify` param
@@ -738,7 +766,7 @@ def _fused_t(
         # unconditionally.  Exactness then rests on the empirical selection margin +
         # the recall gates, exactly the round-2 contract — a documented speed/proof
         # trade for corpora whose neighbour gaps sit below the bf16 error band.
-        return d1, i1
+        return d1, i1, jnp.int32(0)
 
     def exact_fallback(_):
         # The terminal tier MUST be the scan backend: it is the results contract the
@@ -747,8 +775,9 @@ def _fused_t(
         # on large-norm near-ties — f32 cancellation noise in the expanded l2 form —
         # which silently weakens the certified contract.)  Wide tiles keep the
         # scan's top_k fold count small.
-        return exact_knn(q32, rescan, valid, sqn, k=k, metric=metric,
+        d, i = exact_knn(q32, rescan, valid, sqn, k=k, metric=metric,
                          db_tile=8 * SWEEP_TILE)
+        return d, i, jnp.int32(2)
 
     P_all = wmin.shape[1]
     s2 = min(8 * s1, P_all)
@@ -759,14 +788,20 @@ def _fused_t(
     # subgraph dominates the certified program's compile time at large k (measured:
     # the k=1000 certified program compiled 10+ minutes with it, seconds without)
     if s2 <= s1 or B * s2 * r1 > cap:
-        return jax.lax.cond(ok1, lambda _: (d1, i1), exact_fallback, operand=None)
+        return jax.lax.cond(
+            ok1, lambda _: (d1, i1, jnp.int32(0)), exact_fallback, operand=None
+        )
 
     def tier2_or_exact(_):
         # selection+rescan only — the HBM sweep is not repaid
         d2, i2, ok2 = tier(s2)
-        return jax.lax.cond(ok2, lambda _: (d2, i2), exact_fallback, operand=None)
+        return jax.lax.cond(
+            ok2, lambda _: (d2, i2, jnp.int32(1)), exact_fallback, operand=None
+        )
 
-    return jax.lax.cond(ok1, lambda _: (d1, i1), tier2_or_exact, operand=None)
+    return jax.lax.cond(
+        ok1, lambda _: (d1, i1, jnp.int32(0)), tier2_or_exact, operand=None
+    )
 
 
 # ------------------------------------------------------------------ public entry
@@ -814,8 +849,16 @@ def exact_knn_pallas_t(
     err1: jax.Array | None = None,
     rscale2: jax.Array | None = None,
     certify: bool = True,
+    report_tier: bool = False,
+    light: bool = False,
 ):
     """Window-major sweep exact kNN; same results contract as ops.topk.exact_knn.
+
+    ``report_tier``: additionally return a scalar int32 — which certificate tier
+    served the batch: 0 = certified fast selection (margin mode always reports 0),
+    1 = widened selection, 2 = full exact scan, -1 = fused path disengaged (the
+    row-major scan served the query; no certificate ran).  Serving layers use it
+    to expose escalation rates in /statistics and to adapt per-namespace dispatch.
 
     ``data_t`` MUST be in the window-major sweep layout (``to_sweep_layout``); the
     store maintains it incrementally via ``sweep_cols_for_rows`` scatters.  Falls back
@@ -852,11 +895,14 @@ def exact_knn_pallas_t(
         or r1 not in (1, 2, 4, 8, 16, 32)
         or (data_t.dtype == jnp.int8 and rscale is None)  # codes need dequant scales
     ):
-        return exact_knn(q, rescan_data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
+        d, i = exact_knn(q, rescan_data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
+        return (d, i, jnp.int32(-1)) if report_tier else (d, i)
 
     masked = live_prefix is None
     hw = jnp.int32(cap if masked else live_prefix)
-    return _fused_t(
+    d, i, tier = _fused_t(
         q, data_t, rescan_data, valid, sq_norms, hw, sweep_err, resid, rscale, err1,
-        rscale2, k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w, certify=certify,
+        rscale2, k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w,
+        certify=certify, light=light,
     )
+    return (d, i, tier) if report_tier else (d, i)

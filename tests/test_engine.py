@@ -443,3 +443,67 @@ def test_result_cache_evicts_lru_not_all(rng, small_config):
     assert qp._result_cache_hits == hits1 + 2
     qp.find_similar(VectorDTO(queries[1]), top_k=2, namespace="ns")  # was evicted
     assert qp._result_cache_hits == hits1 + 2
+
+
+def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
+    """Adaptive certificate tiering: namespaces start on the LIGHT single-pass
+    certified program; a tier-2 escalation warms the heavy residual-corrected
+    program in the background and flips dispatch to it.  The backend is faked so
+    the policy is testable off-TPU; results flow through the real scan."""
+    import time as _time
+
+    import jax.numpy as _jnp
+
+    from mlvectordb_tpu import QueryProcessor, VectorDTO
+    from mlvectordb_tpu.config import EngineConfig
+    from mlvectordb_tpu.engine import query_processor as qp_mod
+    from mlvectordb_tpu.ops.topk import exact_knn
+
+    seen = []  # (sweep_light, report_tier) per backend call
+
+    def fake_knn_backend(config):
+        def backend(q, data, valid, sq_norms, *, k, metric, db_tile,
+                    live_prefix=None, data_t=None, sweep_err=None, sweep_resid=None,
+                    sweep_rscale=None, sweep_err1=None, sweep_rscale2=None,
+                    report_tier=False, sweep_light=False):
+            seen.append((sweep_light, report_tier))
+            d, i = exact_knn(q, data, valid, sq_norms, k=k, metric=metric,
+                             db_tile=db_tile)
+            if report_tier:
+                # light program always "escalates" in this fake; heavy certifies
+                return d, i, _jnp.int32(2 if sweep_light else 0)
+            return d, i
+        return backend
+
+    monkeypatch.setattr(qp_mod, "knn_backend", fake_knn_backend)
+
+    cfg = EngineConfig(
+        initial_capacity=4096, capacity_multiple=4096, sweep_dtype="bfloat16",
+        query_buckets=(4, 16), k_buckets=(8,), use_pallas=False,
+    )
+    qp = QueryProcessor(config=cfg)
+    qp.storage.namespace("ns", create=True).bulk_upsert(
+        rng.standard_normal((4096, 16)).astype(np.float32))
+    st = qp.storage.namespace("ns").device_state()
+    assert st.sweep_resid is not None  # both variants exist -> adaptive applies
+
+    q = rng.standard_normal(16).astype(np.float32)
+    qp.find_similar(VectorDTO(q), top_k=3, namespace="ns", metric="l2")
+    assert seen[0][0] is True, "first dispatch must be the light program"
+    # the escalation spawns a background heavy warm; wait for the switch
+    deadline = _time.time() + 10.0
+    while qp._cert_mode.get("ns") != "heavy" and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert qp._cert_mode.get("ns") == "heavy", "escalation must flip dispatch to heavy"
+    tiers = qp.cert_tier_counts("ns")
+    assert tiers.get("light_exact_scan", 0) >= 1
+
+    qp.find_similar(VectorDTO(q + 1.0), top_k=3, namespace="ns", metric="l2")
+    assert seen[-1][0] is False, "post-switch dispatch must be the heavy program"
+    assert qp.cert_tier_counts("ns").get("fast", 0) >= 1
+
+    # explain/statistics surface the dispatch state and tier counters
+    ex = qp.explain_query([0.0] * 16, namespace="ns")
+    assert ex["certificate_dispatch"] == "heavy"
+    stats = qp.get_statistics()
+    assert "ns" in stats["exactness"]["tiers_by_namespace"]

@@ -396,6 +396,95 @@ def test_int8_resid_quantization_identities(rng):
     np.testing.assert_array_equal(s2b, s2)
 
 
+def test_report_tier_reflects_certificate_escalation(rng):
+    """report_tier: 0 when the certified fast tier serves (benign gaussian data with
+    per-window sweep_err bounds), 2 when the proof fails batch-wide and the exact
+    scan serves (tightly clustered data, no residual correction), -1 when the fused
+    path disengages (capacity below two sweep tiles)."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    K = 10
+    # benign gaussian: tier 0
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    _, _, tier = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=K, metric="l2", live_prefix=N, sweep_err=sweep_err_norms(db),
+        report_tier=True,
+    )
+    assert int(tier) == 0
+
+    # adversarial clustered without residual correction: the certificate must fail
+    # and the exact scan must serve
+    centers = (rng.standard_normal((8, D)).astype(np.float32) * 0.05)
+    assign = rng.integers(0, 8, N)
+    db_np = (centers[assign] + rng.standard_normal((N, D)).astype(np.float32) * 1e-3)
+    dbc = jnp.asarray(db_np)
+    sqc = jnp.sum(dbc * dbc, axis=-1)
+    qc = jnp.asarray(centers[rng.integers(0, 8, 8)]
+                     + rng.standard_normal((8, D)).astype(np.float32) * 1e-3)
+    _, _, tier = exact_knn_pallas_t(
+        qc, to_sweep_layout(dbc, dtype=jnp.bfloat16), dbc, valid, sqc,
+        k=K, metric="l2", live_prefix=N, sweep_err=sweep_err_norms(dbc),
+        report_tier=True,
+    )
+    assert int(tier) in (1, 2) and int(tier) == 2  # batch-wide failure -> exact scan
+
+    # disengaged: capacity below two sweep tiles falls back to the row-major scan
+    small = jnp.asarray(rng.standard_normal((512, D), dtype=np.float32))
+    _, _, tier = exact_knn_pallas_t(
+        q[:4], small.T, small, jnp.ones((512,), jnp.bool_),
+        jnp.sum(small * small, -1),
+        k=K, metric="l2", live_prefix=512, report_tier=True,
+    )
+    assert int(tier) == -1
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_light_certified_tier_exact(rng, metric):
+    """LIGHT certified tier (single pass, no query compensation, no resid): results
+    must match the oracle set-exactly on benign data with tier 0, and remain exact
+    via escalation (tier 2) on adversarial clustered data."""
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_resid
+
+    db, sq = _mk(rng)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    valid = jnp.ones((N,), jnp.bool_)
+    resid, rscale, e2, e1 = quantize_resid(db)
+    dp, ipx, tier = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=7, metric=metric, live_prefix=N,
+        sweep_err=e2, resid=resid, rscale=rscale, err1=e1,
+        light=True, report_tier=True,
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=7, metric=metric, db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), (metric, b)
+    assert int(tier) == 0, f"light tier should certify benign gaussian data ({metric})"
+
+    # adversarial clustered: light must escalate to the exact scan and stay correct
+    centers = (rng.standard_normal((8, D)).astype(np.float32) * 0.05)
+    assign = rng.integers(0, 8, N)
+    db_np = (centers[assign] + rng.standard_normal((N, D)).astype(np.float32) * 1e-3)
+    dbc = jnp.asarray(db_np)
+    sqc = jnp.sum(dbc * dbc, axis=-1)
+    qc = jnp.asarray(centers[rng.integers(0, 8, 8)]
+                     + rng.standard_normal((8, D)).astype(np.float32) * 1e-3)
+    residc, rscalec, e2c, e1c = quantize_resid(dbc)
+    dp, ipx, tier = exact_knn_pallas_t(
+        qc, to_sweep_layout(dbc, dtype=jnp.bfloat16), dbc, valid, sqc,
+        k=7, metric="l2", live_prefix=N,
+        sweep_err=e2c, resid=residc, rscale=rscalec, err1=e1c,
+        light=True, report_tier=True,
+    )
+    da, ia = exact_knn(qc, dbc, valid, sqc, k=7, metric="l2", db_tile=DB_TILE)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-5
+    )
+    assert int(tier) == 2, "light tier should escalate on clustered data"
+
+
 def test_int8_quantization_identities(rng):
     from mlvectordb_tpu.ops.pallas_knn_t import quantize_int8, quantize_int8_rows
 
