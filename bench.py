@@ -117,15 +117,22 @@ def main() -> int:
     # NB: the big certificate arrays ride as explicit ARGS through the timing harness
     # (closure capture bakes them into the HLO as literals -> the relay's
     # remote-compile endpoint rejects the payload; benchmarks/timing.py docstring)
-    def search(qq, dd, vv, ss, ddt=None, k=K, se=None, rz=None, rs=None, e1=None):
+    def search(qq, dd, vv, ss, ddt=None, k=K, se=None, rz=None, rs=None, e1=None,
+               light=False):
         return backend(qq, dd, vv, ss, k=k, metric="l2", db_tile=config.db_tile,
                        live_prefix=N, data_t=ddt, sweep_err=se,
-                       sweep_resid=rz, sweep_rscale=rs, sweep_err1=e1)
+                       sweep_resid=rz, sweep_rscale=rs, sweep_err1=e1,
+                       sweep_light=light)
 
     # ---- recall gate: engine vs numpy oracle must agree exactly -------------------
+    # The adaptive default (EngineConfig.adaptive_certify) serves mixed-bf16
+    # namespaces with the LIGHT single-pass certified program until escalation;
+    # on this corpus tier-1 certifies (asserted below), so light IS the serving
+    # config the headline measures.  The heavy residual-corrected number rides
+    # along as k10_heavy_qps (what a clustered corpus converges to).
     log("verifying recall@10 == 1.0 against f32 numpy oracle ...")
     _, i_eng = search(q, db, valid, sq, db_t, se=db_err, rz=db_resid, rs=db_rscale,
-                      e1=db_err1)
+                      e1=db_err1, light=on_tpu)
     i_eng = np.asarray(i_eng)
     sq_np = (db_np ** 2).sum(-1)
     d_or = sq_np[None, :] - 2.0 * (q_np @ db_np.T) + (q_np ** 2).sum(-1)[:, None]
@@ -141,9 +148,24 @@ def main() -> int:
     # ---- kernel throughput: median of 5 on-device RTT-cancelled runs ---------------
     log("timing kernel throughput (median of 5) ...")
     if on_tpu:
+        # light tier must actually serve (tier 0) for the headline to be the
+        # adaptive default's number — verify once before timing
+        from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t
+
+        _, _, tier0 = exact_knn_pallas_t(
+            q, db_t, db, valid, sq, k=K, metric="l2", live_prefix=N,
+            sweep_err=db_err, resid=db_resid, rscale=db_rscale, err1=db_err1,
+            light=True, report_tier=True)
+        log(f"light certificate tier on this corpus: {int(tier0)} (0 = fast tier serves)")
+        assert int(tier0) == 0, "light tier escalated on the bench corpus"
+
         kern_args = [q, db_t, db, sq, db_err, db_resid, db_rscale, db_err1]
 
         def kern_fn(qq, ddt, dd, ss, se, rz, rs, e1):
+            return search(qq, dd, valid, ss, ddt, se=se, rz=rz, rs=rs, e1=e1,
+                          light=True)
+
+        def kern_fn_heavy(qq, ddt, dd, ss, se, rz, rs, e1):
             return search(qq, dd, valid, ss, ddt, se=se, rz=rz, rs=rs, e1=e1)
     else:
         kern_args = [q, db, sq]
@@ -174,15 +196,23 @@ def main() -> int:
     )
     log(f"batch-512: {t_512*1e3:.3f} ms = {512/t_512:,.0f} QPS/chip")
 
-    # k=100 row (BASELINE config #2 names k=100)
+    # k=100 row (BASELINE config #2 names k=100) — light serves here too
     if on_tpu:
         def kern_fn_k100(qq, ddt, dd, ss, se, rz, rs, e1):
-            return search(qq, dd, valid, ss, ddt, k=100, se=se, rz=rz, rs=rs, e1=e1)
+            return search(qq, dd, valid, ss, ddt, k=100, se=se, rz=rz, rs=rs, e1=e1,
+                          light=True)
     else:
         def kern_fn_k100(qq, dd, ss):
             return search(qq, dd, valid, ss, None, k=100)
     t_k100, _ = median_device_time(kern_fn_k100, kern_args, runs=3)
     log(f"k=100: {t_k100*1e3:.3f} ms / {B} queries = {B/t_k100:,.0f} QPS/chip")
+
+    # heavy residual-corrected program (what clustered corpora converge to after
+    # the adaptive switch) — reported alongside the light headline
+    t_heavy = None
+    if on_tpu:
+        t_heavy, _ = median_device_time(kern_fn_heavy, kern_args, runs=3)
+        log(f"k=10 heavy (resid): {t_heavy*1e3:.3f} ms = {B/t_heavy:,.0f} QPS/chip")
 
     # ---- engine path: the surface users hit (QueryProcessor.find_similar_batch) ----
     log("loading the engine store (bulk_load) ...")
@@ -252,13 +282,14 @@ def main() -> int:
     log(f"numpy baseline: {base_qps:,.1f} QPS")
 
     print(json.dumps({
-        "metric": "SIFT1M-shape exact kNN k=10 QPS/chip (recall@10=1.0, f32 store + bf16 sweep, median of 9)",
+        "metric": "SIFT1M-shape exact kNN k=10 QPS/chip (recall@10=1.0, certified light tier, f32 store + bf16 sweep, median of 9)",
         "value": round(kernel_qps, 1),
         "unit": "qps",
         "vs_baseline": round(kernel_qps / base_qps, 2),
         "engine_qps": round(engine_qps, 1),
         "engine_gap": gap,
         "k100_qps": round(B / t_k100, 1),
+        "k10_heavy_qps": round(B / t_heavy, 1) if t_heavy else None,
         "batch512_qps": round(512 / t_512, 1),
         "batch8_latency_ms": round(t_lat * 1e3, 3),
         "runs_ms": [round(x * 1e3, 3) for x in runs],

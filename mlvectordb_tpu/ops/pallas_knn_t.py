@@ -452,18 +452,31 @@ def _select_and_rescan(
     B, P = wmin.shape
     g = R1MAX // r1
     s = min(s_sel if s_sel is not None else min(2 * k, k + 16), P)
-    if e_pos is not None:
+    two_level = P % R2 == 0 and P // R2 > 1
+    if e_pos is not None and not two_level:
         # optimistic per-window bounds; XLA fuses the subtracts into the block-min /
         # gather consumers, so this costs one extra elementwise read of wmin at most
         for qe, ep in zip(q_err, e_pos):
             wmin = wmin - qe[:, None] * ep[None, :]
 
-    if P % R2 == 0 and P // R2 > 1:
+    if two_level:
         # two-level: min-reduce to R2-blocks first — XLA top_k cost is dominated by
         # per-row width, so shrinking W 32x before the exact top_k is the cheap path
         W2 = P // R2
         wmin3 = wmin.reshape(B, W2, R2)
         wmin2 = wmin3.min(axis=-1)                        # [B, W2]
+        if e_pos is not None:
+            # Optimistic bounds at BLOCK granularity for level-2 selection: for any
+            # window w in block blk, o(w) = wmin(w) - sum_t qe_t*ep_t(w)
+            #                            >= wmin2(blk) - sum_t qe_t*max_{w in blk} ep_t(w),
+            # so selecting/thresholding on this LOWER bound stays sound while the
+            # full-width [B, P] adjustment passes disappear (at r1=4/k=1000 they
+            # moved ~0.5 GB of wmin traffic per batch; the block form touches
+            # [B, P/32]).  The gathered candidate blocks get the EXACT per-window
+            # adjustment below.
+            for qe, ep in zip(q_err, e_pos):
+                ep2 = ep.reshape(W2, R2).max(axis=-1)
+                wmin2 = wmin2 - qe[:, None] * ep2[None, :]
         s2 = min(s, W2)
         v2, w2i = _topk_min(wmin2, s2)
         # gather the selected blocks' fine windows.  128B rows gather at ~3 GB/s
@@ -486,6 +499,12 @@ def _select_and_rescan(
             l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
         else:
             l1_blk = _flat_rows(wmin3, w2i)               # [B, s2, R2]
+        if e_pos is not None:
+            # exact per-window optimistic bounds, applied only to the gathered
+            # candidate blocks (s2*R2 windows/query, not all P)
+            for qe, ep in zip(q_err, e_pos):
+                e_sel = ep.reshape(W2, R2)[w2i.reshape(-1)].reshape(B, s2, R2)
+                l1_blk = l1_blk - qe[:, None, None] * e_sel
         s1 = min(s, s2 * R2)
         l1_vals = l1_blk.reshape(B, s2 * R2)
         v1, pos, floor = _topk_spec(l1_vals, s1)
