@@ -465,7 +465,7 @@ class QueryProcessor:
                     sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
                     sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
                     sweep_rscale2=state.sweep_rscale2, report_tier=want_tier,
-                    sweep_light=use_light,
+                    sweep_light=use_light, sweep_prep=state.prep_cache,
                 )
                 dist, idx = out[:2]
                 tier_dev = out[2] if want_tier else None
@@ -552,7 +552,7 @@ class QueryProcessor:
                     sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
                     sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
                     sweep_rscale2=state.sweep_rscale2, report_tier=True,
-                    sweep_light=False,
+                    sweep_light=False, sweep_prep=state.prep_cache,
                 )[:2]
                 np.asarray(jax.device_get(d[:1, :1]))  # force real completion
                 with self.stats._lock:
@@ -957,6 +957,7 @@ class QueryProcessor:
                                 report_tier=bool(self.config.certify_exact)
                                 and state.data_t is not None,
                                 sweep_light=self._use_light(namespace, state),
+                                sweep_prep=state.prep_cache,
                             )[:2]
                             # a REAL readback, not block_until_ready: through the
                             # axon relay block_until_ready returns early, so warmup

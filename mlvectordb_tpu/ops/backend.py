@@ -21,7 +21,7 @@ _warned = False
 def _scan_backend(q, data, valid, sq_norms, *, k, metric, db_tile, live_prefix=None,
                   data_t=None, sweep_err=None, sweep_resid=None, sweep_rscale=None,
                   sweep_err1=None, sweep_rscale2=None, report_tier=False,
-                  sweep_light=False):
+                  sweep_light=False, sweep_prep=None):
     d, i = exact_knn(q, data, valid, sq_norms, k=k, metric=metric, db_tile=db_tile)
     if report_tier:
         import jax.numpy as jnp
@@ -45,7 +45,8 @@ def knn_backend(config: EngineConfig):
             def tpu_backend(q, data, valid, sq_norms, *, k, metric, db_tile,
                             live_prefix=None, data_t=None, sweep_err=None,
                             sweep_resid=None, sweep_rscale=None, sweep_err1=None,
-                            sweep_rscale2=None, report_tier=False, sweep_light=False):
+                            sweep_rscale2=None, report_tier=False, sweep_light=False,
+                            sweep_prep=None):
                 # transposed sweep mirror present (config.sweep_dtype): roofline path —
                 # phase 1 reads data_t, the exact rescan reads the row-major store
                 if data_t is not None:
@@ -55,6 +56,7 @@ def knn_backend(config: EngineConfig):
                         sweep_err=sweep_err, resid=sweep_resid,
                         rscale=sweep_rscale, err1=sweep_err1, rscale2=sweep_rscale2,
                         certify=certify, report_tier=report_tier, light=sweep_light,
+                        prep_cache=sweep_prep,
                     )
                 d, i = exact_knn_pallas(
                     q, data, valid, sq_norms,

@@ -75,6 +75,13 @@ class DeviceState(NamedTuple):
     # writers, which is safe: a slot this snapshot's `valid` admits is never remapped
     # by anything short of a compaction, and a compaction builds new lists.
     host_tables: Optional[tuple] = None
+    # Per-snapshot cache of QUERY-INDEPENDENT kernel prep (bias/scale rows in sweep
+    # column order, per-window certificate bounds, maxd) keyed by (metric, r1, plan):
+    # at DEEP shape these permutes cost ~1.2 ms per search when traced inline
+    # (benchmarks/probe_qprep.py).  A fresh dict per publish — the arrays are only
+    # valid for THIS snapshot's data/hw.  Mutated in place by readers (GIL-atomic
+    # get/set; a racing reader at worst recomputes the same arrays).
+    prep_cache: Optional[dict] = None
 
 
 # NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
@@ -319,6 +326,7 @@ class NamespaceStore:
             sweep_rscale2=self._sweep_rscale2,
             host_tables=(self._slot_ids, self._slot_meta, self._slot_values)
             if self.host_mirror else None,
+            prep_cache={},
         )
 
     # ------------------------------------------------------------------ allocation

@@ -465,7 +465,7 @@ def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
         def backend(q, data, valid, sq_norms, *, k, metric, db_tile,
                     live_prefix=None, data_t=None, sweep_err=None, sweep_resid=None,
                     sweep_rscale=None, sweep_err1=None, sweep_rscale2=None,
-                    report_tier=False, sweep_light=False):
+                    report_tier=False, sweep_light=False, sweep_prep=None):
             seen.append((sweep_light, report_tier))
             d, i = exact_knn(q, data, valid, sq_norms, k=k, metric=metric,
                              db_tile=db_tile)
