@@ -43,6 +43,7 @@ def main():
     from benchmarks.timing import device_seconds_per_call
     from mlvectordb_tpu.ops import pallas_knn_t as pkt
 
+
     N, D, B, K = 1 << args.n, 128, args.b, args.k
     rng = np.random.default_rng(42)
     db_np = rng.standard_normal((N, D), dtype=np.float32)

@@ -24,6 +24,7 @@ sys.path.insert(0, ".")
 from benchmarks.timing import device_seconds_per_call  # noqa: E402
 from mlvectordb_tpu.ops import pallas_knn_t as pkt  # noqa: E402
 
+
 N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
 D = 128
 B = 128

@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 from benchmarks.timing import device_seconds_per_call  # noqa: E402
 from mlvectordb_tpu.ops import pallas_knn_t as pkt  # noqa: E402
 
+
 B, D, K = 128, 128, 1000
 N = 1 << 20
 R1 = 2

@@ -34,8 +34,16 @@ def _make_loop(fn: Callable):
             out = fn(c, *rest)
             leaf = jax.tree_util.tree_leaves(out)[0]
             fp = jnp.asarray(leaf).astype(jnp.float32).ravel()[0]
-            # iteration i+1's input depends on iteration i's output
-            return acc + fp, c + fp * jnp.float32(0.0)
+            # iteration i+1's input must depend on iteration i's output in a way
+            # XLA cannot see through, or LICM hoists fn() out of the loop and the
+            # measurement reads ~0.  Arithmetic tricks fail: `fp * 0.0` constant-
+            # folds, and value-based guards (isnan) fold when fn returns ints
+            # (int->f32 is provably non-NaN).  optimization_barrier is the
+            # documented tool: the tuple barrier makes c's next value opaque AND
+            # data-dependent on fp, so iterations can neither be hoisted, CSE'd,
+            # nor overlapped.
+            c2, fp2 = jax.lax.optimization_barrier((c, fp))
+            return acc + fp2, c2
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), carrier))
         return acc
 

@@ -234,7 +234,8 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
     """
     r1 = R1MAX // g
 
-    def kernel(q_ref, qr_ref, db_ref, resid_ref, rscale_ref, scale_ref, bias_ref, out_ref):
+    def kernel(q_ref, qr_ref, db_ref, resid_ref, rscale_ref, scale_ref, bias_ref,
+               out_ref):
         db = db_ref[:]
         if db.dtype == jnp.int8:
             # int8 PRIMARY sweep: codes are integers <= 127, exact in bf16; the
@@ -277,11 +278,16 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
                 r = a * r1 + rr
                 acc = jnp.minimum(acc, rank[:, r * WLANE : (r + 1) * WLANE])
             out_ref[:, a * WLANE : (a + 1) * WLANE] = acc
+            # NOTE an in-kernel block-min epilogue (second output [Bt, g]) was
+            # tried and reverted: Mosaic requires output block minor dims divisible
+            # by 128 (or full-width), and cross-lane mins land on [Bt, 1] stores.
+            # The XLA reduce re-reads wmin (~0.2 ms at DEEP shape) instead.
 
     return kernel
 
 
-def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *, q_tile, g):
+def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
+                 q_tile, g):
     """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
     None), data_t [Dp, cap] sweep layout -> window-min positions
     [B, cap // (R1MAX//g)].  resid_t [Dp, cap] int8 + rscale_row [1, cap]: optional
@@ -291,8 +297,13 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *, 
     out_w = g * WLANE
     two_pass = qres is not None
     use_resid = resid_t is not None
-    grid = (cap // SWEEP_TILE, B // q_tile)  # db outermost: one HBM sweep total
+    nt = cap // SWEEP_TILE
+    grid = (nt, B // q_tile)  # db outermost: one HBM sweep total
     resid_bytes = cap * (Dp + 4) if use_resid else 0
+    out_shape = jax.ShapeDtypeStruct((B, nt * out_w), jnp.float32)
+    out_specs = pl.BlockSpec(
+        (q_tile, out_w), lambda di, qi: (qi, di), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         _sweep_kernel(g, scale_row is not None, two_pass, use_resid),
         grid=grid,
@@ -309,15 +320,13 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *, 
             pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (q_tile, out_w), lambda di, qi: (qi, di), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, (cap // SWEEP_TILE) * out_w), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * cap * Dp * ((2 if two_pass else 1) + (1 if use_resid else 0)),
             bytes_accessed=cap * Dp * data_t.dtype.itemsize + resid_bytes
-            + B * (cap // SWEEP_TILE) * out_w * 4,
+            + B * nt * out_w * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
@@ -429,7 +438,7 @@ def _flat_rows(mat3, idx):
 
 def _select_and_rescan(
     q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None,
-    e_pos=None, q_err=None,
+    e_pos=None, q_err=None, r2=R2, wmin2=None,
 ):
     """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
 
@@ -452,7 +461,7 @@ def _select_and_rescan(
     B, P = wmin.shape
     g = R1MAX // r1
     s = min(s_sel if s_sel is not None else min(2 * k, k + 16), P)
-    two_level = P % R2 == 0 and P // R2 > 1
+    two_level = P % r2 == 0 and P // r2 > 1
     if e_pos is not None and not two_level:
         # optimistic per-window bounds; XLA fuses the subtracts into the block-min /
         # gather consumers, so this costs one extra elementwise read of wmin at most
@@ -460,11 +469,14 @@ def _select_and_rescan(
             wmin = wmin - qe[:, None] * ep[None, :]
 
     if two_level:
-        # two-level: min-reduce to R2-blocks first — XLA top_k cost is dominated by
-        # per-row width, so shrinking W 32x before the exact top_k is the cheap path
-        W2 = P // R2
-        wmin3 = wmin.reshape(B, W2, R2)
-        wmin2 = wmin3.min(axis=-1)                        # [B, W2]
+        # two-level: min-reduce to r2-blocks first — XLA top_k cost is dominated by
+        # per-row width, so shrinking W before the exact top_k is the cheap path.
+        # ``wmin2``: block mins emitted by the sweep kernel's epilogue (r2=WLANE),
+        # skipping the XLA reduce's full re-read of wmin.
+        W2 = P // r2
+        wmin3 = wmin.reshape(B, W2, r2)
+        if wmin2 is None:
+            wmin2 = wmin3.min(axis=-1)                    # [B, W2]
         if e_pos is not None:
             # Optimistic bounds at BLOCK granularity for level-2 selection: for any
             # window w in block blk, o(w) = wmin(w) - sum_t qe_t*ep_t(w)
@@ -472,24 +484,24 @@ def _select_and_rescan(
             # so selecting/thresholding on this LOWER bound stays sound while the
             # full-width [B, P] adjustment passes disappear (at r1=4/k=1000 they
             # moved ~0.5 GB of wmin traffic per batch; the block form touches
-            # [B, P/32]).  The gathered candidate blocks get the EXACT per-window
+            # [B, P/r2]).  The gathered candidate blocks get the EXACT per-window
             # adjustment below.
             for qe, ep in zip(q_err, e_pos):
-                ep2 = ep.reshape(W2, R2).max(axis=-1)
+                ep2 = ep.reshape(W2, r2).max(axis=-1)
                 wmin2 = wmin2 - qe[:, None] * ep2[None, :]
         s2 = min(s, W2)
         v2, w2i = _topk_min(wmin2, s2)
         # gather the selected blocks' fine windows.  128B rows gather at ~3 GB/s
         # (overhead-bound); 512B rows at ~100-148 GB/s (round-3 gather probe) — so
-        # fetch 4-block SUPER-rows and slice the wanted block on-chip.  Sorted ids
+        # fetch >=512B SUPER-rows and slice the wanted block on-chip.  Sorted ids
         # add locality (+40% on top).
         w2i = jnp.sort(w2i, axis=1)
-        G = 4
-        if W2 % G == 0:
+        G = max(1, 512 // (r2 * 4))                       # super-row >= 512 B
+        if G > 1 and W2 % G == 0:
             sup = w2i // G
-            mat = wmin.reshape(B * (W2 // G), G * R2)
+            mat = wmin.reshape(B * (W2 // G), G * r2)
             gidx = sup + (jnp.arange(B, dtype=sup.dtype) * (W2 // G))[:, None]
-            rows4 = mat[gidx.reshape(-1)].reshape(B, s2, G, R2)
+            rows4 = mat[gidx.reshape(-1)].reshape(B, s2, G, r2)
             # slice the wanted block out with a DENSE masked reduction, not
             # take_along_axis — the minor-axis gather costs 5.2 ms at k=1000 shapes
             # where the elementwise mask+sum costs 0.1 ms (measured)
@@ -498,24 +510,24 @@ def _select_and_rescan(
             )
             l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
         else:
-            l1_blk = _flat_rows(wmin3, w2i)               # [B, s2, R2]
+            l1_blk = _flat_rows(wmin3, w2i)               # [B, s2, r2]
         if e_pos is not None:
             # exact per-window optimistic bounds, applied only to the gathered
-            # candidate blocks (s2*R2 windows/query, not all P)
+            # candidate blocks (s2*r2 windows/query, not all P)
             for qe, ep in zip(q_err, e_pos):
-                e_sel = ep.reshape(W2, R2)[w2i.reshape(-1)].reshape(B, s2, R2)
+                e_sel = ep.reshape(W2, r2)[w2i.reshape(-1)].reshape(B, s2, r2)
                 l1_blk = l1_blk - qe[:, None, None] * e_sel
-        s1 = min(s, s2 * R2)
-        l1_vals = l1_blk.reshape(B, s2 * R2)
+        s1 = min(s, s2 * r2)
+        l1_vals = l1_blk.reshape(B, s2 * r2)
         v1, pos, floor = _topk_spec(l1_vals, s1)
-        w2sel = jnp.take_along_axis(w2i, pos // R2, axis=1)
-        p = w2sel * R2 + pos % R2                         # output positions
+        w2sel = jnp.take_along_axis(w2i, pos // r2, axis=1)
+        p = w2sel * r2 + pos % r2                         # output positions
         # unselected blocks >= s2-th block-min; unselected windows inside selected
         # blocks >= min(s1-th value, speculative floor)
         thresh = jnp.full((B,), jnp.inf, jnp.float32)
         if s2 < W2:
             thresh = jnp.minimum(thresh, v2[:, -1])
-        if s1 < s2 * R2:
+        if s1 < s2 * r2:
             thresh = jnp.minimum(thresh, v1[:, -1])
         thresh = jnp.minimum(thresh, floor)
     else:
@@ -733,10 +745,17 @@ def _fused_t(
     # namespace to the heavy program (engine/query_processor._pick_light).
     qres = qres_f32.astype(op_dtype) if (lossy_sweep and mixed and not light) else None
 
+    # level-2 block width: small-k selections use WLANE(=128)-blocks — a 4x
+    # narrower level-2 top_k and 512 B direct block gathers (no super-gather);
+    # large-k selections keep narrow 32-blocks (the L1 stage's width is s * r2,
+    # which at k~1000 must stay near s * 32)
+    P_all = cap // r1
+    r2 = WLANE if (k <= 128 and P_all % WLANE == 0 and P_all // WLANE > 1) else R2
     wmin = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
         scale_row, bias_row, q_tile=q_tile, g=g,
     )
+    wmin2 = None
 
     # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
     # bound when phase 1 ranks on rounded inputs).  Every fine window NOT rescanned
@@ -786,7 +805,7 @@ def _fused_t(
         d, i, th = _select_and_rescan(
             q32, qn_row[:, None], rescan, maskadd, hw, wmin,
             k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
-            e_pos=e_pos, q_err=q_err,
+            e_pos=e_pos, q_err=q_err, r2=r2, wmin2=wmin2,
         )
         return d, i, jnp.all(check_exact(d, th))
 
