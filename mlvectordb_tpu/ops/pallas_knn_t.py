@@ -277,7 +277,10 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
             for rr in range(1, r1):
                 r = a * r1 + rr
                 acc = jnp.minimum(acc, rank[:, r * WLANE : (r + 1) * WLANE])
-            out_ref[:, a * WLANE : (a + 1) * WLANE] = acc
+            if out_ref.ndim == 3:  # transposed [1, Bt, out_w] block (tile-major)
+                out_ref[0, :, a * WLANE : (a + 1) * WLANE] = acc
+            else:
+                out_ref[:, a * WLANE : (a + 1) * WLANE] = acc
             # NOTE an in-kernel block-min epilogue (second output [Bt, g]) was
             # tried and reverted: Mosaic requires output block minor dims divisible
             # by 128 (or full-width), and cross-lane mins land on [Bt, 1] stores.
@@ -287,11 +290,18 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
 
 
 def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
-                 q_tile, g):
+                 q_tile, g, transposed=False):
     """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
     None), data_t [Dp, cap] sweep layout -> window-min positions
     [B, cap // (R1MAX//g)].  resid_t [Dp, cap] int8 + rscale_row [1, cap]: optional
-    residual-correction operands (see _sweep_kernel)."""
+    residual-correction operands (see _sweep_kernel).
+
+    ``transposed``: emit [nt, B, out_w] (tile-major) instead of [B, nt*out_w].
+    The [B, P] form writes each tile's mins as q_tile rows of out_w*4-byte chunks
+    strided P*4 apart — at DEEP shape (nt=2048) that strided DMA drags the sweep
+    to ~636 GB/s vs 814 at nt=256 (probe_sel_itemize).  Tile-major blocks are one
+    contiguous q_tile*out_w*4-byte store per grid step, and the two-level selection
+    consumes the layout natively: window position p = (t*g + a)*WLANE + lane."""
     Dp, cap = data_t.shape
     B = qh.shape[0]
     out_w = g * WLANE
@@ -300,10 +310,16 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
     nt = cap // SWEEP_TILE
     grid = (nt, B // q_tile)  # db outermost: one HBM sweep total
     resid_bytes = cap * (Dp + 4) if use_resid else 0
-    out_shape = jax.ShapeDtypeStruct((B, nt * out_w), jnp.float32)
-    out_specs = pl.BlockSpec(
-        (q_tile, out_w), lambda di, qi: (qi, di), memory_space=pltpu.VMEM
-    )
+    if transposed:
+        out_shape = jax.ShapeDtypeStruct((nt, B, out_w), jnp.float32)
+        out_specs = pl.BlockSpec(
+            (1, q_tile, out_w), lambda di, qi: (di, qi, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, nt * out_w), jnp.float32)
+        out_specs = pl.BlockSpec(
+            (q_tile, out_w), lambda di, qi: (qi, di), memory_space=pltpu.VMEM
+        )
     return pl.pallas_call(
         _sweep_kernel(g, scale_row is not None, two_pass, use_resid),
         grid=grid,
@@ -438,7 +454,7 @@ def _flat_rows(mat3, idx):
 
 def _select_and_rescan(
     q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None,
-    e_pos=None, q_err=None, r2=R2, wmin2=None,
+    e_pos=None, q_err=None, r2=R2, wmin_t=None,
 ):
     """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
 
@@ -458,10 +474,21 @@ def _select_and_rescan(
     instead of inflating a global error term: the certificate's data-side error
     localizes to the windows that actually carry it (VERDICT r3 #1 — the batch-wide
     global-max bound made one large-error row widen every query's requirement)."""
-    B, P = wmin.shape
+    if wmin_t is not None:
+        # tile-major transposed window mins [nt, B, out_w] (r2 == WLANE only):
+        # block blk = t*g + a covers lanes [a*WLANE, (a+1)*WLANE) of tile t, i.e.
+        # window positions [blk*WLANE, (blk+1)*WLANE) — identical block indexing to
+        # the [B, P] reshape, so every position/threshold formula below is shared.
+        nt, B, out_w = wmin_t.shape
+        P = nt * out_w
+    else:
+        B, P = wmin.shape
     g = R1MAX // r1
     s = min(s_sel if s_sel is not None else min(2 * k, k + 16), P)
     two_level = P % r2 == 0 and P // r2 > 1
+    if wmin_t is not None and not two_level:
+        wmin = wmin_t.transpose(1, 0, 2).reshape(B, P)    # tiny P: one-pass convert
+        wmin_t = None
     if e_pos is not None and not two_level:
         # optimistic per-window bounds; XLA fuses the subtracts into the block-min /
         # gather consumers, so this costs one extra elementwise read of wmin at most
@@ -470,12 +497,16 @@ def _select_and_rescan(
 
     if two_level:
         # two-level: min-reduce to r2-blocks first — XLA top_k cost is dominated by
-        # per-row width, so shrinking W before the exact top_k is the cheap path.
-        # ``wmin2``: block mins emitted by the sweep kernel's epilogue (r2=WLANE),
-        # skipping the XLA reduce's full re-read of wmin.
+        # per-row width, so shrinking W before the exact top_k is the cheap path
         W2 = P // r2
-        wmin3 = wmin.reshape(B, W2, r2)
-        if wmin2 is None:
+        if wmin_t is not None:
+            gb = out_w // r2                              # blocks per tile (= g)
+            wmin2 = (
+                wmin_t.reshape(nt, B, gb, r2).min(axis=-1)
+                .transpose(1, 0, 2).reshape(B, W2)        # [B, W2]; moves B*W2*4 B
+            )
+        else:
+            wmin3 = wmin.reshape(B, W2, r2)
             wmin2 = wmin3.min(axis=-1)                    # [B, W2]
         if e_pos is not None:
             # Optimistic bounds at BLOCK granularity for level-2 selection: for any
@@ -496,21 +527,37 @@ def _select_and_rescan(
         # fetch >=512B SUPER-rows and slice the wanted block on-chip.  Sorted ids
         # add locality (+40% on top).
         w2i = jnp.sort(w2i, axis=1)
-        G = max(1, 512 // (r2 * 4))                       # super-row >= 512 B
-        if G > 1 and W2 % G == 0:
-            sup = w2i // G
-            mat = wmin.reshape(B * (W2 // G), G * r2)
-            gidx = sup + (jnp.arange(B, dtype=sup.dtype) * (W2 // G))[:, None]
-            rows4 = mat[gidx.reshape(-1)].reshape(B, s2, G, r2)
-            # slice the wanted block out with a DENSE masked reduction, not
-            # take_along_axis — the minor-axis gather costs 5.2 ms at k=1000 shapes
-            # where the elementwise mask+sum costs 0.1 ms (measured)
-            onehot = (
-                jnp.arange(G, dtype=jnp.int32)[None, None, :] == (w2i % G)[:, :, None]
-            )
-            l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
+        if wmin_t is not None:
+            # tile-major: one gathered row = one tile's out_w mins (>= 512 B,
+            # contiguous by construction); slice block a = blk % gb on-chip
+            flat = wmin_t.reshape(nt * B, out_w)
+            gidx = (w2i // gb) * B + jnp.arange(B, dtype=w2i.dtype)[:, None]
+            rows4 = flat[gidx.reshape(-1)].reshape(B, s2, gb, r2)
+            if gb > 1:
+                onehot = (
+                    jnp.arange(gb, dtype=jnp.int32)[None, None, :]
+                    == (w2i % gb)[:, :, None]
+                )
+                l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
+            else:
+                l1_blk = rows4.reshape(B, s2, r2)
         else:
-            l1_blk = _flat_rows(wmin3, w2i)               # [B, s2, r2]
+            G = max(1, 512 // (r2 * 4))                   # super-row >= 512 B
+            if G > 1 and W2 % G == 0:
+                sup = w2i // G
+                mat = wmin.reshape(B * (W2 // G), G * r2)
+                gidx = sup + (jnp.arange(B, dtype=sup.dtype) * (W2 // G))[:, None]
+                rows4 = mat[gidx.reshape(-1)].reshape(B, s2, G, r2)
+                # slice the wanted block out with a DENSE masked reduction, not
+                # take_along_axis — the minor-axis gather costs 5.2 ms at k=1000
+                # shapes where the elementwise mask+sum costs 0.1 ms (measured)
+                onehot = (
+                    jnp.arange(G, dtype=jnp.int32)[None, None, :]
+                    == (w2i % G)[:, :, None]
+                )
+                l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
+            else:
+                l1_blk = _flat_rows(wmin3, w2i)           # [B, s2, r2]
         if e_pos is not None:
             # exact per-window optimistic bounds, applied only to the gathered
             # candidate blocks (s2*r2 windows/query, not all P)
@@ -536,6 +583,10 @@ def _select_and_rescan(
         thresh = floor if s1 >= P else jnp.minimum(v1[:, -1], floor)
 
     f = _pos_to_window(p, g)                              # [B, s1] fine windows
+    # ascending store order adds DMA locality to the rescan gather (sorted ids
+    # measured +40% in the round-3 gather probe); the final top-k re-ranks, so
+    # candidate order is free
+    f = jnp.sort(f, axis=1)
     cap, Dp = rescan.shape
     # contiguous window gather: one r1-row (r1*Dp*itemsize bytes) DMA per window
     dataw = rescan.reshape(cap // r1, r1 * Dp)
@@ -748,14 +799,18 @@ def _fused_t(
     # level-2 block width: small-k selections use WLANE(=128)-blocks — a 4x
     # narrower level-2 top_k and 512 B direct block gathers (no super-gather);
     # large-k selections keep narrow 32-blocks (the L1 stage's width is s * r2,
-    # which at k~1000 must stay near s * 32)
+    # which at k~1000 must stay near s * 32).  The WLANE path also switches the
+    # sweep output to the tile-major transposed layout: contiguous 64 KB stores
+    # per grid step instead of strided out_w-chunk rows (probe_sel_itemize: the
+    # strided form costs ~0.9 ms of sweep bandwidth at DEEP shape).
     P_all = cap // r1
-    r2 = WLANE if (k <= 128 and P_all % WLANE == 0 and P_all // WLANE > 1) else R2
-    wmin = _window_mins(
+    transposed = k <= 128 and P_all % WLANE == 0 and P_all // WLANE > 1
+    r2 = WLANE if transposed else R2
+    wm = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
-        scale_row, bias_row, q_tile=q_tile, g=g,
+        scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
     )
-    wmin2 = None
+    wmin, wmin_t = (None, wm) if transposed else (wm, None)
 
     # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
     # bound when phase 1 ranks on rounded inputs).  Every fine window NOT rescanned
@@ -805,7 +860,7 @@ def _fused_t(
         d, i, th = _select_and_rescan(
             q32, qn_row[:, None], rescan, maskadd, hw, wmin,
             k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
-            e_pos=e_pos, q_err=q_err, r2=r2, wmin2=wmin2,
+            e_pos=e_pos, q_err=q_err, r2=r2, wmin_t=wmin_t,
         )
         return d, i, jnp.all(check_exact(d, th))
 
@@ -842,7 +897,6 @@ def _fused_t(
                          k=k, metric=metric, db_tile=8 * SWEEP_TILE)
         return d, i, jnp.int32(2)
 
-    P_all = wmin.shape[1]
     s2 = min(8 * s1, P_all)
     B = q.shape[0]
     # tier-2 only earns its keep while its gather traffic (B * s2 * r1 rows) stays
