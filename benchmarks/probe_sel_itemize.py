@@ -27,6 +27,7 @@ N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
 D = 128
 B = 128
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+R2A = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = WLANE default
 # sub-ms programs need a long chain for the differenced signal to clear relay noise
 ITERS = 48 if N <= 1 << 21 else 12
 
@@ -52,13 +53,14 @@ def main():
     r1 = pkt._pick_r1(B, N, K)
     g = pkt.R1MAX // r1
     P = N // r1
-    r2 = pkt.WLANE
+    r2 = R2A or pkt.WLANE
     s = min(2 * K, K + 16)
     W2 = P // r2
     s2 = min(s, W2)
     nt = N // pkt.SWEEP_TILE
     out_w = g * pkt.WLANE
-    print(f"r1={r1} P={P} r2={r2} W2={W2} s={s} nt={nt}", flush=True)
+    gb = out_w // r2
+    print(f"r1={r1} P={P} r2={r2} gb={gb} W2={W2} s={s} nt={nt}", flush=True)
 
     bias_row = pkt.sweep_rows_1d(sq).reshape(1, N)
 
@@ -71,23 +73,23 @@ def main():
 
     def sel_l2(qq, ddt, br, dd):
         wt = wmins(qq, ddt, br, dd)
-        wmin2 = (wt.reshape(nt, B, g, r2).min(axis=-1)
+        wmin2 = (wt.reshape(nt, B, gb, r2).min(axis=-1)
                  .transpose(1, 0, 2).reshape(B, W2))
         v2, w2i = pkt._topk_min(wmin2, s2)
         return v2, jnp.sort(w2i, axis=1)
 
     def sel_l1(qq, ddt, br, dd):
         wt = wmins(qq, ddt, br, dd)
-        wmin2 = (wt.reshape(nt, B, g, r2).min(axis=-1)
+        wmin2 = (wt.reshape(nt, B, gb, r2).min(axis=-1)
                  .transpose(1, 0, 2).reshape(B, W2))
         v2, w2i = pkt._topk_min(wmin2, s2)
         w2i = jnp.sort(w2i, axis=1)
         flat = wt.reshape(nt * B, out_w)
-        gidx = (w2i // g) * B + jnp.arange(B, dtype=w2i.dtype)[:, None]
-        rows4 = flat[gidx.reshape(-1)].reshape(B, s2, g, r2)
-        if g > 1:
-            onehot = (jnp.arange(g, dtype=jnp.int32)[None, None, :]
-                      == (w2i % g)[:, :, None])
+        gidx = (w2i // gb) * B + jnp.arange(B, dtype=w2i.dtype)[:, None]
+        rows4 = flat[gidx.reshape(-1)].reshape(B, s2, gb, r2)
+        if gb > 1:
+            onehot = (jnp.arange(gb, dtype=jnp.int32)[None, None, :]
+                      == (w2i % gb)[:, :, None])
             l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
         else:
             l1_blk = rows4.reshape(B, s2, r2)

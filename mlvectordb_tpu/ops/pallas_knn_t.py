@@ -454,7 +454,7 @@ def _flat_rows(mat3, idx):
 
 def _select_and_rescan(
     q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None,
-    e_pos=None, q_err=None, r2=R2, wmin_t=None,
+    e_pos=None, q_err=None, r2=R2, wmin_t=None, spec_l2=False,
 ):
     """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
 
@@ -521,7 +521,18 @@ def _select_and_rescan(
                 ep2 = ep.reshape(W2, r2).max(axis=-1)
                 wmin2 = wmin2 - qe[:, None] * ep2[None, :]
         s2 = min(s, W2)
-        v2, w2i = _topk_min(wmin2, s2)
+        # chunked speculative selection at level 2 — CERTIFIED CALLERS ONLY: at
+        # k=1000 (W2=8192, s2=1016) the exact pair-sort costs ~1.0 ms where the
+        # speculative chunked top_k is near-free (probe_k1000_item ALT-spec2);
+        # fl2 folds into thresh so a speculation miss escalates the certificate.
+        # Margin mode has NO escalation — a miss there becomes a recall miss
+        # (measured: recall 0.9999 at k=1000 with speculation on), so it keeps
+        # the exact selection.
+        if spec_l2:
+            v2, w2i, fl2 = _topk_spec(wmin2, s2)
+        else:
+            v2, w2i = _topk_min(wmin2, s2)
+            fl2 = jnp.full((wmin2.shape[0],), jnp.inf, jnp.float32)
         # gather the selected blocks' fine windows.  128B rows gather at ~3 GB/s
         # (overhead-bound); 512B rows at ~100-148 GB/s (round-3 gather probe) — so
         # fetch >=512B SUPER-rows and slice the wanted block on-chip.  Sorted ids
@@ -571,7 +582,7 @@ def _select_and_rescan(
         p = w2sel * r2 + pos % r2                         # output positions
         # unselected blocks >= s2-th block-min; unselected windows inside selected
         # blocks >= min(s1-th value, speculative floor)
-        thresh = jnp.full((B,), jnp.inf, jnp.float32)
+        thresh = fl2                                      # level-2 speculation floor
         if s2 < W2:
             thresh = jnp.minimum(thresh, v2[:, -1])
         if s1 < s2 * r2:
@@ -597,13 +608,13 @@ def _select_and_rescan(
     )
     rows = (f[:, :, None] * r1 + jnp.arange(r1, dtype=jnp.int32)).reshape(B, s1 * r1)
 
-    dots = jax.lax.dot_general(
-        q32,
-        sub,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # [B, s1*r1]
+    # VPU mul+reduce, NOT a batched dot_general: the per-query matvec is MXU-hostile
+    # ([B, s1*r1, D] x [B, D] forces an operand-layout transpose that XLA fuses into
+    # the gather — measured 3.2 ms vs 1.8 for the fused elementwise form at k=1000
+    # widths, probe_rescan_form), and the mul-reduce shares one pass over ``sub``
+    # with the norm reduction.  f32 tree-reduce accumulation error is within the
+    # certificate's Dp * 2^-22 slack.
+    dots = jnp.sum(sub * q32[:, None, :], axis=-1)        # [B, s1*r1]
     sqn_c = jnp.sum(sub * sub, axis=-1)                   # norms from the rows
     if metric == "l2":
         dist = jnp.maximum(qn_row + sqn_c - 2.0 * dots, 0.0)
@@ -796,16 +807,16 @@ def _fused_t(
     # namespace to the heavy program (engine/query_processor._pick_light).
     qres = qres_f32.astype(op_dtype) if (lossy_sweep and mixed and not light) else None
 
-    # level-2 block width: small-k selections use WLANE(=128)-blocks — a 4x
-    # narrower level-2 top_k and 512 B direct block gathers (no super-gather);
-    # large-k selections keep narrow 32-blocks (the L1 stage's width is s * r2,
-    # which at k~1000 must stay near s * 32).  The WLANE path also switches the
-    # sweep output to the tile-major transposed layout: contiguous 64 KB stores
-    # per grid step instead of strided out_w-chunk rows (probe_sel_itemize: the
-    # strided form costs ~0.9 ms of sweep bandwidth at DEEP shape).
+    # level-2 block width: tiny-k selections use WLANE(=128)-blocks — a 4x
+    # narrower level-2 top_k; k=100 measured 0.5 ms faster with 32-blocks
+    # (probe_sel_itemize r2 sweep: the L1 stage's width is s2 * r2, which must
+    # stay near s2 * 32 once s2 ~ k).  k <= 128 also switches the sweep output to
+    # the tile-major transposed layout: contiguous 64 KB stores per grid step
+    # instead of strided out_w-chunk rows (the strided form costs ~0.9 ms of
+    # sweep bandwidth at DEEP shape); the tile-row gather slices any r2 | out_w.
     P_all = cap // r1
     transposed = k <= 128 and P_all % WLANE == 0 and P_all // WLANE > 1
-    r2 = WLANE if transposed else R2
+    r2 = WLANE if (transposed and k <= 32) else R2
     wm = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
         scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
@@ -860,7 +871,7 @@ def _fused_t(
         d, i, th = _select_and_rescan(
             q32, qn_row[:, None], rescan, maskadd, hw, wmin,
             k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
-            e_pos=e_pos, q_err=q_err, r2=r2, wmin_t=wmin_t,
+            e_pos=e_pos, q_err=q_err, r2=r2, wmin_t=wmin_t, spec_l2=certify,
         )
         return d, i, jnp.all(check_exact(d, th))
 
