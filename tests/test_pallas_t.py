@@ -514,3 +514,38 @@ def test_same_dtype_bf16_sweep_single_pass_certified(rng, metric):
     da, ia = exact_knn(q, db16, valid, sq, k=7, metric=metric, db_tile=DB_TILE)
     for b in range(8):
         assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), (metric, b)
+
+
+def test_prep_cache_not_poisoned_by_outer_trace(rng):
+    """Calling the entry under an outer jit must neither raise UnexpectedTracerError
+    on a later eager call nor cache traced arrays (the snapshot prep cache only
+    populates eagerly; inside a trace the prep terms trace inline)."""
+    import jax
+
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_resid, sweep_err_norms
+
+    db, sq = _mk(rng)
+    dbt = to_sweep_layout(db, dtype=jnp.bfloat16)
+    serr = sweep_err_norms(db)
+    valid = jnp.ones((N,), bool)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    cache: dict = {}
+
+    @jax.jit
+    def traced(qq, ddt, dd, vv, ss, se):
+        return exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=5, metric="l2",
+                                  live_prefix=N, sweep_err=se, prep_cache=cache)
+
+    d1, i1 = traced(q, dbt, db, valid, sq, serr)
+    assert not cache, "prep cache populated with traced arrays"
+    # eager call afterwards: populates the cache with concrete arrays and agrees
+    d2, i2 = exact_knn_pallas_t(q, dbt, db, valid, sq, k=5, metric="l2",
+                                live_prefix=N, sweep_err=serr, prep_cache=cache)
+    assert cache, "eager call should populate the prep cache"
+    assert all(not isinstance(v, jax.core.Tracer)
+               for p in cache.values() for v in jax.tree_util.tree_leaves(p))
+    np.testing.assert_array_equal(np.sort(np.asarray(i1)), np.sort(np.asarray(i2)))
+    # reuse the now-populated cache eagerly again (exercises the cached branch)
+    d3, i3 = exact_knn_pallas_t(q, dbt, db, valid, sq, k=5, metric="l2",
+                                live_prefix=N, sweep_err=serr, prep_cache=cache)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
