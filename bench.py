@@ -263,7 +263,7 @@ def main() -> int:
     # scheduler preemption inflates mean/median by multiples under load (observed:
     # the same run's numpy baseline swings 5x between sessions).  The min is the
     # reproducible capability number; the mean rides along for transparency.
-    reps, times = 10, []
+    reps, times = 30, []
     for _ in range(reps):
         t0 = time.perf_counter()
         qp._hydrate_batch(user, dist, slots, ns, resolver, limit=K, tables=tables)

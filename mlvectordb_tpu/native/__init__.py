@@ -110,9 +110,17 @@ def hydrate_module():
         if _hydrate_mod is not None or _hydrate_failed:
             return _hydrate_mod
         so = _hydrate_so_path()
-        if not os.path.exists(so) and not _build():
-            _hydrate_failed = True
-            return None
+        src = os.path.join(_NATIVE_DIR, "hydrate.c")
+        stale = (
+            os.path.exists(so) and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(so)
+        )
+        if (not os.path.exists(so) or stale) and not _build():
+            # a stale .so (source newer) must rebuild, or a new-API caller would
+            # load an extension missing the function it was written against
+            if not os.path.exists(so):
+                _hydrate_failed = True
+                return None
         if not os.path.exists(so):  # toolchain built metafilter but not the extension
             _hydrate_failed = True
             return None

@@ -209,9 +209,152 @@ fail:
     return NULL;
 }
 
+/* Whole-batch hydration: mask + row construction + per-query chunking in ONE C
+ * pass.  Replaces the Python side's numpy boolean indexing, counts.tolist() and
+ * 128-iteration chunk loop (~0.2 ms/batch-128 of interpreter time on top of
+ * build_rows).  slots [B*k] int32/64, scores/dists [B*k] f32/64, C-contiguous.
+ * Rows are kept when dist < half_masked and 0 <= slot < len(ids); rows nulled by
+ * a delete-after-snapshot (id or values is None) are dropped inline.
+ *
+ *   build_nested(ids, vals, metas, slots, scores, dists, half_masked, B, k)
+ *     -> list[list[dict]]
+ */
+static PyObject *
+build_nested(PyObject *Py_UNUSED(self), PyObject *args)
+{
+    PyObject *ids, *vals, *metas, *slots_o, *scores_o, *dists_o;
+    double half_masked;
+    Py_ssize_t B, k;
+    if (!PyArg_ParseTuple(args, "O!O!O!OOOdnn",
+                          &PyList_Type, &ids, &PyList_Type, &vals,
+                          &PyList_Type, &metas, &slots_o, &scores_o, &dists_o,
+                          &half_masked, &B, &k))
+        return NULL;
+
+    col_t slots, scores, dists;
+    if (col_init(&slots, slots_o, 'i', "slots") < 0)
+        return NULL;
+    if (col_init(&scores, scores_o, 'f', "scores") < 0) {
+        col_release(&slots);
+        return NULL;
+    }
+    if (col_init(&dists, dists_o, 'f', "dists") < 0) {
+        col_release(&slots);
+        col_release(&scores);
+        return NULL;
+    }
+
+    PyObject *out = NULL;
+    Py_ssize_t n = B * k;
+    Py_ssize_t n_slots = PyList_GET_SIZE(ids);
+    if (col_len(&slots) != n || col_len(&scores) != n || col_len(&dists) != n) {
+        PyErr_SetString(PyExc_ValueError, "slots/scores/dists length mismatch");
+        goto nfail;
+    }
+    if (PyList_GET_SIZE(vals) < n_slots || PyList_GET_SIZE(metas) < n_slots) {
+        PyErr_SetString(PyExc_ValueError, "table length mismatch");
+        goto nfail;
+    }
+
+    out = PyList_New(B);
+    if (out == NULL)
+        goto nfail;
+
+#define SLOT_AT(i) (slots.is_buf                                            \
+        ? (slots.itemsize == 8 ? ((const long long *)slots.view.buf)[i]     \
+                               : (long long)((const int *)slots.view.buf)[i]) \
+        : -1)
+#define FVAL_AT(c, i) ((c).itemsize == 8 ? ((const double *)(c).view.buf)[i] \
+                                         : (double)((const float *)(c).view.buf)[i])
+
+    if (!slots.is_buf || !scores.is_buf || !dists.is_buf) {
+        PyErr_SetString(PyExc_TypeError, "build_nested requires buffer inputs");
+        goto nfail;
+    }
+
+    for (Py_ssize_t b = 0; b < B; b++) {
+        PyObject *chunk = PyList_New(0);
+        if (chunk == NULL)
+            goto nfail;
+        PyList_SET_ITEM(out, b, chunk);   /* steals chunk */
+        for (Py_ssize_t j = 0; j < k; j++) {
+            Py_ssize_t i = b * k + j;
+            if (i + PF_DIST < n) {
+                long long ns = SLOT_AT(i + PF_DIST);
+                if (ns >= 0 && ns < (long long)n_slots) {
+                    PF(&((PyListObject *)ids)->ob_item[ns]);
+                    PF(&((PyListObject *)vals)->ob_item[ns]);
+                    PF(&((PyListObject *)metas)->ob_item[ns]);
+                }
+            }
+            if (FVAL_AT(dists, i) >= half_masked)
+                continue;
+            long long slot = SLOT_AT(i);
+            if (slot < 0 || slot >= (long long)n_slots)
+                continue;
+            PyObject *id = PyList_GET_ITEM(ids, slot);
+            PyObject *v = PyList_GET_ITEM(vals, slot);
+            PyObject *m = PyList_GET_ITEM(metas, slot);
+            if (id == Py_None || v == Py_None)
+                continue;                 /* deleted after snapshot: drop */
+
+            PyObject *md;
+            if (m != Py_None && PyDict_Check(m) && PyDict_GET_SIZE(m) > 0)
+                md = PyDict_Copy(m);
+            else if (m == Py_None || PyDict_Check(m))
+                md = PyDict_New();
+            else
+                md = PyObject_CallFunctionObjArgs((PyObject *)&PyDict_Type, m, NULL);
+            if (md == NULL)
+                goto nfail;
+            PyObject *score = PyFloat_FromDouble(FVAL_AT(scores, i));
+            if (score == NULL) {
+                Py_DECREF(md);
+                goto nfail;
+            }
+            PyObject *d = PyDict_New();
+            if (d == NULL) {
+                Py_DECREF(md);
+                Py_DECREF(score);
+                goto nfail;
+            }
+            if (PyDict_SetItem(d, k_id, id) < 0 ||
+                PyDict_SetItem(d, k_values, v) < 0 ||
+                PyDict_SetItem(d, k_metadata, md) < 0 ||
+                PyDict_SetItem(d, k_score, score) < 0) {
+                Py_DECREF(md);
+                Py_DECREF(score);
+                Py_DECREF(d);
+                goto nfail;
+            }
+            Py_DECREF(md);
+            Py_DECREF(score);
+            if (PyList_Append(chunk, d) < 0) {
+                Py_DECREF(d);
+                goto nfail;
+            }
+            Py_DECREF(d);
+        }
+    }
+    col_release(&slots);
+    col_release(&scores);
+    col_release(&dists);
+    return out;
+
+nfail:
+    col_release(&slots);
+    col_release(&scores);
+    col_release(&dists);
+    Py_XDECREF(out);
+    return NULL;
+}
+
 static PyMethodDef HydrateMethods[] = {
     {"build_rows", build_rows, METH_VARARGS,
      "build_rows(ids, vals, metas, slots, scores) -> (rows, dropping)"},
+    {"build_nested", build_nested, METH_VARARGS,
+     "build_nested(ids, vals, metas, slots, scores, dists, half_masked, B, k)"
+     " -> list[list[dict]]"},
     {NULL, NULL, 0, NULL},
 };
 
