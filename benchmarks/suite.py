@@ -32,7 +32,16 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from benchmarks.timing import device_seconds_per_call
+    from benchmarks.timing import device_seconds_per_call as _dspc
+
+    def device_seconds_per_call(fn, args, iters=8, runs=5):
+        # MEDIAN of runs: a single differenced sample through the relay can under-
+        # or over-measure by multiples (observed: a 0.24 ms reading for a program
+        # whose HBM sweep alone takes 0.33); medians make every suite row a
+        # defensible number at ~4x the timing cost (compiles still dominate)
+        _dspc(fn, args, iters=2)  # warmup, discarded
+        ts = sorted(_dspc(fn, args, iters=iters) for _ in range(runs))
+        return ts[len(ts) // 2]
     from mlvectordb_tpu.ops.pallas_knn_t import (
         exact_knn_pallas_t,
         quantize_resid,
