@@ -122,11 +122,12 @@ def main() -> int:
     prep_cache: dict = {}
 
     def search(qq, dd, vv, ss, ddt=None, k=K, se=None, rz=None, rs=None, e1=None,
-               light=False):
+               light=False, prep=None):
         return backend(qq, dd, vv, ss, k=k, metric="l2", db_tile=config.db_tile,
                        live_prefix=N, data_t=ddt, sweep_err=se,
                        sweep_resid=rz, sweep_rscale=rs, sweep_err1=e1,
-                       sweep_light=light, sweep_prep=prep_cache)
+                       sweep_light=light, sweep_prep=prep_cache,
+                       sweep_prep_direct=prep)
 
     # ---- recall gate: engine vs numpy oracle must agree exactly -------------------
     # The adaptive default (EngineConfig.adaptive_certify) serves mixed-bf16
@@ -163,14 +164,36 @@ def main() -> int:
         log(f"light certificate tier on this corpus: {int(tier0)} (0 = fast tier serves)")
         assert int(tier0) == 0, "light tier escalated on the bench corpus"
 
-        kern_args = [q, db_t, db, sq, db_err, db_resid, db_rscale, db_err1]
+        # explicit prep per timed variant: the snapshot cache only populates
+        # eagerly, so the fori_loop timing harness would otherwise trace the
+        # query-independent prep INLINE and measure a program eager serving
+        # never dispatches (~0.2 ms/call pessimistic at 1M, ~1 ms at DEEP)
+        import jax.tree_util as jtu
 
-        def kern_fn(qq, ddt, dd, ss, se, rz, rs, e1):
+        from mlvectordb_tpu.ops.pallas_knn_t import search_prep
+
+        def mk_prep(k, light):
+            p = search_prep(B, db_t, db.dtype, valid, sq, k=k, metric="l2",
+                            live_prefix=N, light=light, sweep_err=db_err,
+                            resid=db_resid, rscale=db_rscale, err1=db_err1)
+            return jtu.tree_flatten(p)
+
+        pl_leaves, pl_def = mk_prep(K, True)
+        ph_leaves, ph_def = mk_prep(K, False)
+        p100_leaves, p100_def = mk_prep(100, True)
+
+        kern_args = [q, db_t, db, sq, db_err, db_resid, db_rscale, db_err1] + pl_leaves
+
+        def kern_fn(qq, ddt, dd, ss, se, rz, rs, e1, *pl):
             return search(qq, dd, valid, ss, ddt, se=se, rz=rz, rs=rs, e1=e1,
-                          light=True)
+                          light=True, prep=jtu.tree_unflatten(pl_def, pl))
 
-        def kern_fn_heavy(qq, ddt, dd, ss, se, rz, rs, e1):
-            return search(qq, dd, valid, ss, ddt, se=se, rz=rz, rs=rs, e1=e1)
+        def kern_fn_heavy(qq, ddt, dd, ss, se, rz, rs, e1, *pl):
+            return search(qq, dd, valid, ss, ddt, se=se, rz=rz, rs=rs, e1=e1,
+                          prep=jtu.tree_unflatten(ph_def, pl))
+
+        kern_args_heavy = kern_args[:8] + ph_leaves
+        kern_args_k100 = kern_args[:8] + p100_leaves
     else:
         kern_args = [q, db, sq]
 
@@ -202,25 +225,23 @@ def main() -> int:
 
     # k=100 row (BASELINE config #2 names k=100) — light serves here too
     if on_tpu:
-        def kern_fn_k100(qq, ddt, dd, ss, se, rz, rs, e1):
+        def kern_fn_k100(qq, ddt, dd, ss, se, rz, rs, e1, *pl):
             return search(qq, dd, valid, ss, ddt, k=100, se=se, rz=rz, rs=rs, e1=e1,
-                          light=True)
+                          light=True, prep=jtu.tree_unflatten(p100_def, pl))
+
+        t_k100, _ = median_device_time(kern_fn_k100, kern_args_k100, runs=3)
     else:
         def kern_fn_k100(qq, dd, ss):
             return search(qq, dd, valid, ss, None, k=100)
-    # one EAGER call first: the k=100 program keys a different (r1, ...) prep entry,
-    # and the snapshot prep cache only populates outside a trace (the engine serves
-    # eagerly; the timing harness must measure the same cached-prep program)
-    kern_fn_k100(*kern_args)
-    t_k100, _ = median_device_time(kern_fn_k100, kern_args, runs=3)
+
+        t_k100, _ = median_device_time(kern_fn_k100, kern_args, runs=3)
     log(f"k=100: {t_k100*1e3:.3f} ms / {B} queries = {B/t_k100:,.0f} QPS/chip")
 
     # heavy residual-corrected program (what clustered corpora converge to after
     # the adaptive switch) — reported alongside the light headline
     t_heavy = None
     if on_tpu:
-        kern_fn_heavy(*kern_args)  # eager: populate the heavy variant's prep entry
-        t_heavy, _ = median_device_time(kern_fn_heavy, kern_args, runs=3)
+        t_heavy, _ = median_device_time(kern_fn_heavy, kern_args_heavy, runs=3)
         log(f"k=10 heavy (resid): {t_heavy*1e3:.3f} ms = {B/t_heavy:,.0f} QPS/chip")
 
     # ---- engine path: the surface users hit (QueryProcessor.find_similar_batch) ----

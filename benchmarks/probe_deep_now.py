@@ -40,29 +40,36 @@ def main():
     q = jnp.asarray(rng.standard_normal((B, D), dtype=np.float32))
     dbt = pkt.to_sweep_layout(data)
 
-    # small-slice oracle check (full 8.4M oracle is too slow host-side; use 3 queries)
-    d32 = np.asarray(data[: 1 << 20].astype(jnp.float32))
-    prep_cache: dict = {}
+    # explicit prep (search_prep): the snapshot cache only populates eagerly, so
+    # the timing fori_loop must thread the prep arrays as args to measure the
+    # cached-prep program eager serving dispatches
+    import jax.tree_util as jtu
 
-    def run(qq, ddt, dd, vv, ss):
+    prep_c = pkt.search_prep(B, dbt, data.dtype, valid, sq, k=K, metric="cosine",
+                             live_prefix=N)
+    pc_leaves, pc_def = jtu.tree_flatten(prep_c)
+    prep_m = pkt.search_prep(B, dbt, data.dtype, valid, sq, k=K, metric="cosine",
+                             live_prefix=N, certify=False)
+    pm_leaves, pm_def = jtu.tree_flatten(prep_m)
+
+    def run(qq, ddt, dd, vv, ss, *pl):
         return pkt.exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=K, metric="cosine",
                                       live_prefix=N, report_tier=True,
-                                      prep_cache=prep_cache)
+                                      prep=jtu.tree_unflatten(pc_def, pl))
 
-    d, i, tier = run(q, dbt, data, valid, sq)
-    print(f"tier={int(tier)} prep_entries={len(prep_cache)}", flush=True)
-    t, ts = med(run, [q, dbt, data, valid, sq])
+    d, i, tier = run(q, dbt, data, valid, sq, *pc_leaves)
+    print(f"tier={int(tier)}", flush=True)
+    t, ts = med(run, [q, dbt, data, valid, sq, *pc_leaves])
     print(f"DEEP cert+prep+blockmin: {t*1e3:7.3f} ms = {B/t:8,.0f} QPS  "
           f"runs={['%.2f'%(x*1e3) for x in ts]}", flush=True)
 
     # margin mode for reference
-    def run_m(qq, ddt, dd, vv, ss):
+    def run_m(qq, ddt, dd, vv, ss, *pl):
         return pkt.exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=K, metric="cosine",
                                       live_prefix=N, certify=False,
-                                      prep_cache=prep_cache)
+                                      prep=jtu.tree_unflatten(pm_def, pl))
 
-    run_m(q, dbt, data, valid, sq)
-    t, ts = med(run_m, [q, dbt, data, valid, sq])
+    t, ts = med(run_m, [q, dbt, data, valid, sq, *pm_leaves])
     print(f"DEEP margin+prep       : {t*1e3:7.3f} ms = {B/t:8,.0f} QPS  "
           f"runs={['%.2f'%(x*1e3) for x in ts]}", flush=True)
 

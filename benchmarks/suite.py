@@ -42,9 +42,12 @@ def main() -> int:
         _dspc(fn, args, iters=2)  # warmup, discarded
         ts = sorted(_dspc(fn, args, iters=iters) for _ in range(runs))
         return ts[len(ts) // 2]
+    import jax.tree_util as jtu
+
     from mlvectordb_tpu.ops.pallas_knn_t import (
         exact_knn_pallas_t,
         quantize_resid,
+        search_prep,
         sweep_err_norms,
         to_sweep_layout,
     )
@@ -53,16 +56,19 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
 
     def backend(qq, dd, vv, ss, *, k, metric, live_prefix=None, ddt=None, derr=None,
-                resid=None, rscale=None, err1=None, certify=True):
+                resid=None, rscale=None, err1=None, certify=True, prep=None):
         # the serving configuration: transposed sweep mirror + f32 rescan; ``derr``
         # (+ resid/rscale/err1, the int8 residual correction the engine's mixed
         # default maintains) feed the certificate's per-window bounds;
-        # certify=False = margin-based mode (EngineConfig.certify_exact=False)
+        # certify=False = margin-based mode (EngineConfig.certify_exact=False).
+        # ``prep``: explicit search_prep dict so timed rows measure the
+        # cached-prep program eager serving dispatches (the snapshot cache only
+        # populates eagerly; without it the harness traces prep inline)
         if on_tpu and ddt is not None:
             return exact_knn_pallas_t(qq, ddt, dd, vv, ss, k=k, metric=metric,
                                       live_prefix=live_prefix, sweep_err=derr,
                                       resid=resid, rscale=rscale, err1=err1,
-                                      certify=certify)
+                                      certify=certify, prep=prep)
         return exact_knn(qq, dd, vv, ss, k=k, metric=metric, db_tile=4096)
 
     rng = np.random.default_rng(42)
@@ -104,9 +110,19 @@ def main() -> int:
     q = jnp.asarray(qs_np)
     cert_args = [db_t, db, valid, sq, db_err, db_resid, db_rscale, db_err1]
 
-    def cert_backend(qq, ddt, dd, vv, ss, de, rz, rs, e1, *, k, metric="l2"):
+    def mk_prep(k, metric="l2", certify=True):
+        if not on_tpu:
+            return [], None
+        p = search_prep(B, db_t, db.dtype, valid, sq, k=k, metric=metric,
+                        live_prefix=N, certify=certify, sweep_err=db_err,
+                        resid=db_resid, rscale=db_rscale, err1=db_err1)
+        return jtu.tree_flatten(p)
+
+    def cert_backend(qq, ddt, dd, vv, ss, de, rz, rs, e1, *pl, k, metric="l2",
+                     pdef=None):
+        prep = jtu.tree_unflatten(pdef, pl) if pdef is not None else None
         return backend(qq, dd, vv, ss, k=k, metric=metric, live_prefix=N, ddt=ddt,
-                       derr=de, resid=rz, rscale=rs, err1=e1)
+                       derr=de, resid=rz, rscale=rs, err1=e1, prep=prep)
 
     # recall gate on the suite's own data before any timing
     d_or = (
@@ -126,11 +142,12 @@ def main() -> int:
 
     # k=1000 is the REST contract's top_k cap (reference rest_api.py:24)
     for K in (10, 100, 1000):
+        kleaves, kdef = mk_prep(K)
         t = device_seconds_per_call(
-            lambda qq, ddt, dd, vv, ss, de, rz, rs, e1, _k=K: cert_backend(
-                qq, ddt, dd, vv, ss, de, rz, rs, e1, k=_k,
-            ),
-            [q] + cert_args, iters=8,
+            lambda qq, ddt, dd, vv, ss, de, rz, rs, e1, *pl, _k=K, _pd=kdef:
+                cert_backend(qq, ddt, dd, vv, ss, de, rz, rs, e1, *pl, k=_k,
+                             pdef=_pd),
+            [q] + cert_args + kleaves, iters=8,
         )
         log(f"{ds['name']} l2 k={K}: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
         emit(f"sift1m_l2_k{K}_qps", B / t, "qps", batch=B, n=N, dataset=ds["name"])
@@ -148,12 +165,14 @@ def main() -> int:
     emit("sift1m_margin_mode_recall_at_10", recall_nc, "recall", dataset=ds["name"])
     assert recall_nc == 1.0, f"margin-mode recall broke on {ds['name']}: {recall_nc}"
     for K in (10, 100):
+        mleaves, mdef = mk_prep(K, certify=False)
         t = device_seconds_per_call(
-            lambda qq, ddt, dd, vv, ss, _k=K: backend(
+            lambda qq, ddt, dd, vv, ss, *pl, _k=K, _pd=mdef: backend(
                 qq, dd, vv, ss, k=_k, metric="l2", live_prefix=N, ddt=ddt,
                 derr=db_err, certify=False,
+                prep=jtu.tree_unflatten(_pd, pl) if _pd is not None else None,
             ),
-            [q, db_t, db, valid, sq], iters=8,
+            [q, db_t, db, valid, sq] + mleaves, iters=8,
         )
         log(f"{ds['name']} l2 k={K} margin-mode: {t*1e3:.3f} ms = {B/t:,.0f} QPS")
         emit(f"sift1m_l2_k{K}_margin_mode_qps", B / t, "qps", batch=B, n=N)
@@ -264,10 +283,17 @@ def main() -> int:
     _, db2, sq2 = mk(N2, 128, as_bf16=True)
     db2_t = to_sweep_layout(db2)
     valid2 = jnp.ones((N2,), jnp.bool_)
+    if on_tpu:
+        p2 = search_prep(B, db2_t, db2.dtype, valid2, sq2, k=10, metric="cosine",
+                         live_prefix=N2)
+        p2_leaves, p2_def = jtu.tree_flatten(p2)
+    else:
+        p2_leaves, p2_def = [], None
     t = device_seconds_per_call(
-        lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
-                                            live_prefix=N2, ddt=ddt),
-        [q, db2_t, db2, valid2, sq2], iters=6,
+        lambda qq, ddt, dd, vv, ss, *pl: backend(
+            qq, dd, vv, ss, k=10, metric="cosine", live_prefix=N2, ddt=ddt,
+            prep=jtu.tree_unflatten(p2_def, pl) if p2_def is not None else None),
+        [q, db2_t, db2, valid2, sq2] + p2_leaves, iters=6,
     )
     log(f"DEEP-10M-shape bf16 ({N2} rows): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("deep8m_bf16_cosine_qps", B / t, "qps", batch=B, n=N2, dtype="bfloat16")

@@ -46,9 +46,11 @@ def knn_backend(config: EngineConfig):
                             live_prefix=None, data_t=None, sweep_err=None,
                             sweep_resid=None, sweep_rscale=None, sweep_err1=None,
                             sweep_rscale2=None, report_tier=False, sweep_light=False,
-                            sweep_prep=None):
+                            sweep_prep=None, sweep_prep_direct=None):
                 # transposed sweep mirror present (config.sweep_dtype): roofline path —
-                # phase 1 reads data_t, the exact rescan reads the row-major store
+                # phase 1 reads data_t, the exact rescan reads the row-major store.
+                # sweep_prep_direct: an explicit search_prep dict for traced callers
+                # (the snapshot cache only populates eagerly)
                 if data_t is not None:
                     return exact_knn_pallas_t(
                         q, data_t, data, valid, sq_norms,
@@ -56,7 +58,7 @@ def knn_backend(config: EngineConfig):
                         sweep_err=sweep_err, resid=sweep_resid,
                         rscale=sweep_rscale, err1=sweep_err1, rscale2=sweep_rscale2,
                         certify=certify, report_tier=report_tier, light=sweep_light,
-                        prep_cache=sweep_prep,
+                        prep_cache=sweep_prep, prep=sweep_prep_direct,
                     )
                 d, i = exact_knn_pallas(
                     q, data, valid, sq_norms,

@@ -959,6 +959,55 @@ def _pick_r1(batch: int, n_rows: int, k: int) -> int:
     return r1
 
 
+def search_prep(
+    batch: int,
+    data_t: jax.Array,
+    rescan_dtype,
+    valid: jax.Array,
+    sq_norms: jax.Array,
+    *,
+    k: int,
+    metric: str,
+    live_prefix: int,
+    certify: bool = True,
+    light: bool = False,
+    sweep_err: jax.Array | None = None,
+    resid: jax.Array | None = None,
+    rscale: jax.Array | None = None,
+    err1: jax.Array | None = None,
+    rscale2: jax.Array | None = None,
+    r1_override: int | None = None,
+) -> dict:
+    """The query-independent prep dict for one (batch, k, metric, config) search —
+    exactly what exact_knn_pallas_t caches per snapshot.  Compute it EAGERLY and
+    pass it via ``prep=`` (threading its arrays as arguments) when calling the
+    entry under an outer trace, so the traced program matches the cached-prep
+    program eager serving dispatches."""
+    Dp, cap = data_t.shape
+    r1 = r1_override or _pick_r1(batch, cap, k)
+    bf_sweep = data_t.dtype == jnp.bfloat16
+    int8_sweep = data_t.dtype == jnp.int8
+    lossy_sweep = bf_sweep or int8_sweep
+    mixed = (bf_sweep and rescan_dtype != data_t.dtype) or int8_sweep
+    use_resid = (
+        certify and not light
+        and resid is not None and rscale is not None and err1 is not None
+        and (bf_sweep or (int8_sweep and rscale2 is not None))
+    )
+    wb_sources, _, _ = _cert_plan(
+        certify=certify, light=light, mixed=mixed, lossy_sweep=lossy_sweep,
+        int8_sweep=int8_sweep, use_resid=use_resid,
+        has_sweep_err=sweep_err is not None, has_err1=err1 is not None,
+        metric=metric,
+    )
+    return _prep_terms_jit(
+        valid, sq_norms, jnp.int32(live_prefix), rscale, rscale2, sweep_err, err1,
+        cap=cap, metric=metric, masked=False, r1=r1, g=R1MAX // r1,
+        int8_sweep=int8_sweep, bf_sweep=bf_sweep, use_resid=use_resid,
+        wb_sources=wb_sources,
+    )
+
+
 def exact_knn_pallas_t(
     q: jax.Array,
     data_t: jax.Array,        # [Dp, cap] SWEEP-LAYOUT mirror (to_sweep_layout) — bf16 or f32
@@ -980,6 +1029,7 @@ def exact_knn_pallas_t(
     report_tier: bool = False,
     light: bool = False,
     prep_cache: dict | None = None,
+    prep: dict | None = None,
 ):
     """Window-major sweep exact kNN; same results contract as ops.topk.exact_knn.
 
@@ -988,6 +1038,10 @@ def exact_knn_pallas_t(
     bounds, maxd — costs ~1.2 ms/call at DEEP shape when traced inline
     (benchmarks/probe_qprep.py); with a cache it is computed once per published
     snapshot per (metric, r1, plan) and fed to the fused program as inputs.
+    The cache never populates under an outer trace (values would be tracers);
+    traced callers who still want the cached-prep program — e.g. a timing
+    harness measuring what eager serving dispatches — pass ``prep`` (a dict
+    from :func:`search_prep`) explicitly, threading its arrays as arguments.
     Only used on the unmasked (live_prefix) path: the masked variant's ``valid``
     is a per-query filter bitmap.
 
@@ -1056,9 +1110,9 @@ def exact_knn_pallas_t(
         metric=metric,
     )
 
-    prep = None
     if (
-        prep_cache is not None and not masked
+        prep is None
+        and prep_cache is not None and not masked
         # NEVER populate the cache from inside an outer trace (vmap/jit/fori_loop
         # around this entry): the computed rows would be tracers, and caching a
         # tracer leaks it out of its trace (UnexpectedTracerError on reuse).
