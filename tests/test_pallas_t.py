@@ -549,3 +549,40 @@ def test_prep_cache_not_poisoned_by_outer_trace(rng):
     d3, i3 = exact_knn_pallas_t(q, dbt, db, valid, sq, k=5, metric="l2",
                                 live_prefix=N, sweep_err=serr, prep_cache=cache)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+
+
+def test_search_prep_matches_inline_and_cache(rng):
+    """search_prep's explicit dict must produce the same results as the inline-prep
+    and cache-prep programs, for certified, light and margin configurations."""
+    import jax.tree_util as jtu
+
+    from mlvectordb_tpu.ops.pallas_knn_t import quantize_resid, search_prep
+
+    db, sq = _mk(rng)
+    dbt = to_sweep_layout(db, dtype=jnp.bfloat16)
+    resid, rscale, err2, err1 = quantize_resid(db)
+    valid = jnp.ones((N,), bool)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+
+    for certify, light in ((True, False), (True, True), (False, False)):
+        kw = dict(k=7, metric="l2", live_prefix=N, certify=certify, light=light,
+                  sweep_err=err2, resid=resid, rscale=rscale, err1=err1)
+        d0, i0 = exact_knn_pallas_t(q, dbt, db, valid, sq, **kw)
+        prep = search_prep(8, dbt, db.dtype, valid, sq, **kw)
+        # thread the prep arrays as args through a jit, like the timing harness
+        leaves, tdef = jtu.tree_flatten(prep)
+
+        import jax
+
+        @jax.jit
+        def run(qq, ddt, dd, vv, ss, se, rz, rs, e1, *pl, _kw=tuple(sorted(
+                (k2, v) for k2, v in kw.items() if not hasattr(v, "shape"))),
+                _tdef=tdef, _certify=certify, _light=light):
+            return exact_knn_pallas_t(
+                qq, ddt, dd, vv, ss, k=7, metric="l2", live_prefix=N,
+                certify=_certify, light=_light, sweep_err=se, resid=rz,
+                rscale=rs, err1=e1, prep=jtu.tree_unflatten(_tdef, pl))
+
+        d1, i1 = run(q, dbt, db, valid, sq, err2, resid, rscale, err1, *leaves)
+        np.testing.assert_array_equal(np.sort(np.asarray(i0)), np.sort(np.asarray(i1)))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=0, atol=0)
