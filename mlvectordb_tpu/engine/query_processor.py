@@ -429,12 +429,16 @@ class QueryProcessor:
         state = ns.device_state()  # snapshot: functional arrays isolate readers
 
         valid = state.valid
+        prep_cache = state.prep_cache
         if filter:
             with trace_span("filter_mask", namespace=namespace):
                 mask = self._filter_masks.mask_for(ns, filter)
             if mask.shape[0] != state.valid.shape[0]:  # capacity changed mid-snapshot
                 raise RuntimeError("snapshot deleted (capacity changed)")
             valid = jnp.logical_and(valid, jnp.asarray(mask))
+            # masked prep depends on the filtered liveness — use a dict scoped to
+            # this (filter, store version) so repeated filters reuse their prep
+            prep_cache = self._filter_masks.prep_cache_for(ns, filter)
 
         # counters come from the SNAPSHOT, never the live store attributes: a concurrent
         # upsert bumps host tables before publishing the scattered arrays, and pairing
@@ -479,7 +483,7 @@ class QueryProcessor:
                     sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
                     sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
                     sweep_rscale2=state.sweep_rscale2, report_tier=want_tier,
-                    sweep_light=use_light, sweep_prep=state.prep_cache,
+                    sweep_light=use_light, sweep_prep=prep_cache,
                 )
                 dist, idx = out[:2]
                 tier_dev = out[2] if want_tier else None

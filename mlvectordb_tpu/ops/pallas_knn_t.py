@@ -1112,7 +1112,7 @@ def exact_knn_pallas_t(
 
     if (
         prep is None
-        and prep_cache is not None and not masked
+        and prep_cache is not None
         # NEVER populate the cache from inside an outer trace (vmap/jit/fori_loop
         # around this entry): the computed rows would be tracers, and caching a
         # tracer leaks it out of its trace (UnexpectedTracerError on reuse).
@@ -1120,13 +1120,17 @@ def exact_knn_pallas_t(
         # program it compiles for direct callers without a snapshot cache.
         and not isinstance(valid, jax.core.Tracer)
     ):
-        key = (metric, r1, int(live_prefix), certify, light, use_resid,
-               wb_sources, str(data_t.dtype))
+        # masked entries are valid ONLY while the caller's ``valid`` array is the
+        # one the cache is scoped to: the snapshot dict is scoped to the
+        # snapshot's own liveness mask, and the engine passes a per-(filter,
+        # version) dict for filtered searches (FilterMaskCache.prep_cache_for)
+        key = (metric, r1, -1 if live_prefix is None else int(live_prefix),
+               masked, certify, light, use_resid, wb_sources, str(data_t.dtype))
         prep = prep_cache.get(key)
         if prep is None:
             prep = _prep_terms_jit(
                 valid, sq_norms, hw, rscale, rscale2, sweep_err, err1,
-                cap=cap, metric=metric, masked=False, r1=r1, g=R1MAX // r1,
+                cap=cap, metric=metric, masked=masked, r1=r1, g=R1MAX // r1,
                 int8_sweep=int8_sweep, bf_sweep=bf_sweep, use_resid=use_resid,
                 wb_sources=wb_sources,
             )

@@ -507,3 +507,28 @@ def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
     assert ex["certificate_dispatch"] == "heavy"
     stats = qp.get_statistics()
     assert "ns" in stats["exactness"]["tiers_by_namespace"]
+
+
+def test_filter_prep_cache_scoped_by_version(qp):
+    """Repeated filtered searches reuse a prep dict scoped to (filter, version);
+    a mutation (version bump) must switch to a fresh dict, never reuse stale prep."""
+    import numpy as np
+
+    from mlvectordb_tpu.interfaces.vector import VectorDTO
+
+    rng = np.random.default_rng(0)
+    vs = qp.upsert_many(
+        [VectorDTO(rng.standard_normal(16).astype(np.float32), {"g": i % 2})
+         for i in range(64)], "f")
+    ns = qp.storage.namespace("f")
+    spec = {"g": 0}
+    d1 = qp._filter_masks.prep_cache_for(ns, spec)
+    assert qp._filter_masks.prep_cache_for(ns, spec) is d1  # stable across calls
+    q = VectorDTO(vs[0].values)
+    r1 = qp.find_similar(q, top_k=5, namespace="f", metric="euclidean", filter=spec)
+    assert all(v["metadata"]["g"] == 0 for v in r1)
+    qp.upsert_many([VectorDTO(rng.standard_normal(16).astype(np.float32), {"g": 0})], "f")
+    d2 = qp._filter_masks.prep_cache_for(ns, spec)
+    assert d2 is not d1  # version bumped -> fresh prep scope
+    r2 = qp.find_similar(q, top_k=5, namespace="f", metric="euclidean", filter=spec)
+    assert all(v["metadata"]["g"] == 0 for v in r2)
