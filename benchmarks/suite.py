@@ -261,11 +261,23 @@ def main() -> int:
     log(f"hybrid (masked) recall@10 gate: {hy_recall}")
     assert hy_recall == 1.0, f"masked-path exactness violated: {hy_recall}"
     assert bool(mask[np.asarray(i_hy).ravel()].all()), "filtered-out row leaked into results"
+    # masked prep threaded explicitly: the engine caches it per (filter, version)
+    # (FilterMaskCache.prep_cache_for), so the serving-representative row is the
+    # cached-prep program, not the inline-prep one
+    if on_tpu:
+        ph = search_prep(B, db_t, db.dtype, vmask, sq, k=10, metric="cosine",
+                         live_prefix=None, sweep_err=db_err, resid=db_resid,
+                         rscale=db_rscale, err1=db_err1)
+        ph_leaves, ph_def = jtu.tree_flatten(ph)
+    else:
+        ph_leaves, ph_def = [], None
     t = device_seconds_per_call(
-        lambda qq, ddt, dd, vv, ss, de, rz, rs, e1: backend(
+        lambda qq, ddt, dd, vv, ss, de, rz, rs, e1, *pl: backend(
             qq, dd, vv, ss, k=10, metric="cosine", live_prefix=None, ddt=ddt,
-            derr=de, resid=rz, rscale=rs, err1=e1),
-        [q, db_t, db, vmask, sq, db_err, db_resid, db_rscale, db_err1], iters=8,
+            derr=de, resid=rz, rscale=rs, err1=e1,
+            prep=jtu.tree_unflatten(ph_def, pl) if ph_def is not None else None),
+        [q, db_t, db, vmask, sq, db_err, db_resid, db_rscale, db_err1] + ph_leaves,
+        iters=8,
     )
     log(f"GloVe-shape cosine hybrid (50% filter): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("glove_cosine_hybrid_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)

@@ -968,7 +968,7 @@ def search_prep(
     *,
     k: int,
     metric: str,
-    live_prefix: int,
+    live_prefix: int | None,
     certify: bool = True,
     light: bool = False,
     sweep_err: jax.Array | None = None,
@@ -982,7 +982,9 @@ def search_prep(
     exactly what exact_knn_pallas_t caches per snapshot.  Compute it EAGERLY and
     pass it via ``prep=`` (threading its arrays as arguments) when calling the
     entry under an outer trace, so the traced program matches the cached-prep
-    program eager serving dispatches."""
+    program eager serving dispatches.  ``live_prefix=None`` builds the MASKED
+    variant's prep (tombstones / metadata filters): ``valid`` must then be the
+    same (filter-ANDed) mask the search call will pass."""
     Dp, cap = data_t.shape
     r1 = r1_override or _pick_r1(batch, cap, k)
     bf_sweep = data_t.dtype == jnp.bfloat16
@@ -1000,9 +1002,11 @@ def search_prep(
         has_sweep_err=sweep_err is not None, has_err1=err1 is not None,
         metric=metric,
     )
+    masked = live_prefix is None
     return _prep_terms_jit(
-        valid, sq_norms, jnp.int32(live_prefix), rscale, rscale2, sweep_err, err1,
-        cap=cap, metric=metric, masked=False, r1=r1, g=R1MAX // r1,
+        valid, sq_norms, jnp.int32(cap if masked else live_prefix),
+        rscale, rscale2, sweep_err, err1,
+        cap=cap, metric=metric, masked=masked, r1=r1, g=R1MAX // r1,
         int8_sweep=int8_sweep, bf_sweep=bf_sweep, use_resid=use_resid,
         wb_sources=wb_sources,
     )
