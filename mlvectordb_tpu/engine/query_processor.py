@@ -104,6 +104,7 @@ class QueryProcessor:
         self._filter_masks = FilterMaskCache()
         self.stats = QueryStats()
         # per-namespace certificate-tier counters (see _record_cert_tier)
+        self._cert_lock = threading.Lock()  # guards _cert_tiers/_cert_mode/_heavy_warms
         self._cert_tiers: Dict[str, Dict[str, int]] = {}
         # adaptive certified dispatch (config.adaptive_certify): namespaces start on
         # the LIGHT single-pass certified program; an escalation flips them to the
@@ -426,6 +427,7 @@ class QueryProcessor:
         raise RuntimeError("unreachable")  # pragma: no cover
 
     def _search_snapshot(self, q_np, ns, namespace, k, metric, filter):
+        v0 = ns.version            # read BEFORE the snapshot: brackets the mask build
         state = ns.device_state()  # snapshot: functional arrays isolate readers
 
         valid = state.valid
@@ -435,10 +437,22 @@ class QueryProcessor:
                 mask = self._filter_masks.mask_for(ns, filter)
             if mask.shape[0] != state.valid.shape[0]:  # capacity changed mid-snapshot
                 raise RuntimeError("snapshot deleted (capacity changed)")
+            if ns.version != v0:
+                # a write published between our version read and the mask build:
+                # the mask (live tables, keyed by live version) may not match the
+                # snapshot arrays, and caching prep built from THIS snapshot under
+                # the NEWER version would poison every later filtered search at
+                # that version (it would mask rows the old snapshot lacked while
+                # the certificate still certified).  Re-snapshot via the RCU retry.
+                # NB: compared against v0, not state.version — version can move
+                # WITHOUT a republish (an IVF build bumps it to drop result
+                # caches while the arrays are unchanged), so the snapshot's own
+                # stamp may legitimately lag the live counter forever.
+                raise RuntimeError("snapshot deleted (version moved during mask build)")
             valid = jnp.logical_and(valid, jnp.asarray(mask))
             # masked prep depends on the filtered liveness — use a dict scoped to
-            # this (filter, store version) so repeated filters reuse their prep
-            prep_cache = self._filter_masks.prep_cache_for(ns, filter)
+            # this (filter, bracketed version) so repeated filters reuse their prep
+            prep_cache = self._filter_masks.prep_cache_for(ns, filter, version=v0)
 
         # counters come from the SNAPSHOT, never the live store attributes: a concurrent
         # upsert bumps host tables before publishing the scattered arrays, and pairing
@@ -502,6 +516,7 @@ class QueryProcessor:
                 self._warm_heavy_then_switch(
                     namespace, state, Bb, kb, metric, live_prefix,
                     None if filter is None else valid,
+                    prep_cache=prep_cache,
                 )
         else:
             dist, idx = jax.device_get((dist, idx))
@@ -520,12 +535,12 @@ class QueryProcessor:
         name = self._TIER_NAMES.get(tier, str(tier))
         if light:
             name = f"light_{name}"
-        with self.stats._lock:
+        with self._cert_lock:
             d = self._cert_tiers.setdefault(namespace, {})
             d[name] = d.get(name, 0) + 1
 
     def cert_tier_counts(self, namespace: str) -> Dict[str, int]:
-        with self.stats._lock:
+        with self._cert_lock:
             return dict(self._cert_tiers.get(namespace, {}))
 
     def _use_light(self, namespace: str, state) -> bool:
@@ -546,39 +561,67 @@ class QueryProcessor:
         return self._cert_mode.get(namespace, "light") == "light"
 
     def _warm_heavy_then_switch(
-        self, namespace, state, Bb, kb, metric, live_prefix, valid_override
+        self, namespace, state, Bb, kb, metric, live_prefix, valid_override,
+        prep_cache=None,
     ) -> None:
-        """Compile the heavy residual-corrected program in a daemon thread, then flip
-        the namespace's dispatch to it.  Queries keep using the light program (exact
-        via escalation) until the heavy one is ready, so nobody stalls on the
-        multi-second compile (the round-3 load test showed what happens otherwise)."""
-        with self.stats._lock:
+        """Compile the heavy residual-corrected programs in a daemon thread, then
+        flip the namespace's dispatch to them.  Queries keep using the light program
+        (exact via escalation) until the heavy ones are ready, so nobody stalls on
+        the multi-second compiles (the round-3 load test showed what happens
+        otherwise).
+
+        Warms EVERY (batch-bucket, k-bucket) pair for the triggering metric/variant
+        — not just the shape that escalated — because the mode flip applies to the
+        whole namespace: flipping after one compile would land every other bucket's
+        first heavy query on a cold multi-minute certified compile.
+
+        ``prep_cache`` must be the SAME dict the triggering search used (the
+        snapshot dict, or the per-(filter, version) dict for filtered traffic):
+        warming a filtered shape against the snapshot dict would file prep built
+        from the filter-ANDed liveness under the snapshot's own keys, and later
+        tombstone-masked unfiltered searches would rank — and certify — against
+        rows the old filter excluded."""
+        with self._cert_lock:
             if namespace in self._heavy_warms or self._cert_mode.get(namespace) == "heavy":
                 return
             self._heavy_warms.add(namespace)
 
         backend = knn_backend(self.config)
         valid = state.valid if valid_override is None else valid_override
+        if prep_cache is None:
+            prep_cache = state.prep_cache
+        batches = sorted({self.config.bucket_batch(b)
+                          for b in self.config.query_buckets if b <= 512} | {Bb})
+        ks = sorted({min(self.config.bucket_k(min(kk, state.live_count)),
+                         state.valid.shape[0])
+                     for kk in (10, 100)} | {kb})
+
+        def warm_one(bb, kk):
+            d, _ = backend(
+                jnp.zeros((bb, state.data.shape[1]), jnp.float32),
+                state.data, valid, state.sq_norms,
+                k=kk, metric=metric, db_tile=self.config.db_tile,
+                live_prefix=live_prefix, data_t=state.data_t,
+                sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
+                sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
+                sweep_rscale2=state.sweep_rscale2, report_tier=True,
+                sweep_light=False, sweep_prep=prep_cache,
+            )[:2]
+            np.asarray(jax.device_get(d[:1, :1]))  # force real completion
 
         def run():
             try:
-                d, _ = backend(
-                    jnp.zeros((Bb, state.data.shape[1]), jnp.float32),
-                    state.data, valid, state.sq_norms,
-                    k=kb, metric=metric, db_tile=self.config.db_tile,
-                    live_prefix=live_prefix, data_t=state.data_t,
-                    sweep_err=state.sweep_err, sweep_resid=state.sweep_resid,
-                    sweep_rscale=state.sweep_rscale, sweep_err1=state.sweep_err1,
-                    sweep_rscale2=state.sweep_rscale2, report_tier=True,
-                    sweep_light=False, sweep_prep=state.prep_cache,
-                )[:2]
-                np.asarray(jax.device_get(d[:1, :1]))  # force real completion
-                with self.stats._lock:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pairs = [(bb, kk) for bb in batches for kk in ks]
+                with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as pool:
+                    list(pool.map(lambda p: warm_one(*p), pairs))
+                with self._cert_lock:
                     self._cert_mode[namespace] = "heavy"
             except Exception:  # pragma: no cover - compile failure: stay light
                 logger.exception("heavy certified program warm failed for %r", namespace)
             finally:
-                with self.stats._lock:
+                with self._cert_lock:
                     self._heavy_warms.discard(namespace)
 
         threading.Thread(target=run, name=f"mlvdb-heavy-warm-{namespace}", daemon=True).start()
@@ -861,10 +904,23 @@ class QueryProcessor:
             # until certified searches have run; see /statistics for all namespaces)
             "certificate_tiers": self.cert_tier_counts(namespace),
             # adaptive dispatch state: "light" single-pass proof vs "heavy"
-            # residual-corrected proof (config.adaptive_certify)
-            "certificate_dispatch": self._cert_mode.get(namespace, "light")
-            if (self.config.certify_exact and self.config.adaptive_certify)
-            else ("heavy" if self.config.certify_exact else "margin"),
+            # residual-corrected proof (config.adaptive_certify).  Eligibility
+            # mirrors _use_light: namespaces that can never serve the light
+            # program (int8/same-dtype sweeps, no residual stream, sharded)
+            # report "heavy", not the mode dict's optimistic default.
+            # light-eligible namespaces (per their own arrays) surface the adaptive
+            # mode; ineligible ones (int8/same-dtype sweeps, no residual stream)
+            # report the program they actually dispatch — "heavy" when the fused
+            # kernel engages, the exact scan otherwise
+            "certificate_dispatch": (
+                self._cert_mode.get(namespace, "light")
+                if ns is not None and self._use_light(namespace, ns.device_state())
+                else "heavy" if ns is not None and self._cert_mode.get(namespace) == "heavy"
+                else "heavy" if fused_active
+                else "exact-scan"
+            )
+            if self.config.certify_exact
+            else "margin" if margin_mode else "exact-scan",
             "expected_recall": None if margin_mode else 1.0,
             "live_vectors": live,
             "scanned_slots": cap,
@@ -884,7 +940,7 @@ class QueryProcessor:
             "certify_exact": bool(self.config.certify_exact),
             "contract": "certified" if self.config.certify_exact else "margin",
         }
-        with self.stats._lock:
+        with self._cert_lock:
             if self._cert_tiers:
                 # which certificate tier served each batch, per namespace — a
                 # namespace dominated by "exact_scan" is escalating every batch

@@ -147,7 +147,8 @@ class FilterMaskCache:
         self._cache[key] = mask
         return mask
 
-    def prep_cache_for(self, ns_store, spec: Dict[str, Any]) -> dict:
+    def prep_cache_for(self, ns_store, spec: Dict[str, Any], *,
+                       version: Optional[int] = None) -> dict:
         """A kernel prep-cache dict scoped to this (filter, store version) pair.
 
         Filtered searches run the MASKED kernel variant, whose query-independent
@@ -156,10 +157,18 @@ class FilterMaskCache:
         never live in the snapshot's own prep cache.  Repeated filters are the
         common serving pattern; keying a dict by the same (name, incarnation,
         filter, version, capacity) tuple as the mask lets the kernel reuse the
-        prep across calls and drop ~0.1-0.3 ms/batch of inline prep at 1M rows."""
+        prep across calls and drop ~0.1-0.3 ms/batch of inline prep at 1M rows.
+
+        ``version`` MUST be the SNAPSHOT's version (DeviceState.version), never
+        the live ``ns_store.version``: a write publishing between the caller's
+        snapshot and this call would otherwise file prep built from the old
+        snapshot's arrays under the new version, and every later filtered search
+        at that version would rank (and certify) against stale liveness."""
         key = (
             ns_store.name, getattr(ns_store, "incarnation", ""),
-            filter_cache_key(spec), ns_store.version, ns_store.capacity,
+            filter_cache_key(spec),
+            ns_store.version if version is None else version,
+            ns_store.capacity,
         )
         prep = self._prep.get(key)
         if prep is None:

@@ -82,6 +82,11 @@ class DeviceState(NamedTuple):
     # valid for THIS snapshot's data/hw.  Mutated in place by readers (GIL-atomic
     # get/set; a racing reader at worst recomputes the same arrays).
     prep_cache: Optional[dict] = None
+    # Store version captured at publish: readers scoping caches to a snapshot (the
+    # filter-mask / filter-prep caches) MUST key by this, never by the live
+    # ns.version — a write publishing between snapshot and cache fill would
+    # otherwise file arrays built from the OLD snapshot under the NEW version.
+    version: int = -1
 
 
 # NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
@@ -327,6 +332,7 @@ class NamespaceStore:
             host_tables=(self._slot_ids, self._slot_meta, self._slot_values)
             if self.host_mirror else None,
             prep_cache={},
+            version=self.version,
         )
 
     # ------------------------------------------------------------------ allocation
@@ -386,14 +392,28 @@ class NamespaceStore:
         )
 
     def _build_mirror(self):
-        """(Re)build the window-major sweep mirror from the current device matrix."""
+        """(Re)build the window-major sweep mirror from the current device matrix.
+
+        int8 configs quantize the FULL store here and stash the byproducts
+        (scales/error norms/residual codes) in ``_int8_aux`` for the paired
+        _rebuild_sweep_aux call — quantization is two whole-store passes on a
+        multi-GB namespace, and recomputing it per array under the compaction
+        lock doubled the writer pause."""
         sdt = self._sweep_dtype()
         if sdt is None or self._data is None or not self._mirror_ok(self._data.shape[0]):
             return None
         if sdt == jnp.int8:
+            if self._use_resid():
+                from ..ops.pallas_knn_t import quantize_int8_resid
+
+                out = quantize_int8_resid(self._data)
+                self._int8_aux = out
+                return out[0]
             from ..ops.pallas_knn_t import quantize_int8
 
-            return quantize_int8(self._data)[0]
+            out = quantize_int8(self._data)
+            self._int8_aux = out
+            return out[0]
         from ..ops.pallas_knn_t import to_sweep_layout
 
         return to_sweep_layout(self._data, dtype=sdt)
@@ -411,21 +431,26 @@ class NamespaceStore:
         must run whenever _data_t is rebuilt wholesale (compact, restore, regrow)."""
         self._sweep_resid = self._sweep_rscale = self._sweep_err1 = None
         self._sweep_rscale2 = None
+        aux, self._int8_aux = getattr(self, "_int8_aux", None), None
         if self._use_resid() and self._data_t is not None:
             if self._int8_sweep():
-                from ..ops.pallas_knn_t import quantize_int8_resid
+                if aux is None or len(aux) != 6:  # aux missing: quantize fresh
+                    from ..ops.pallas_knn_t import quantize_int8_resid
 
+                    aux = quantize_int8_resid(self._data)
                 (_, self._sweep_rscale, self._sweep_resid, self._sweep_rscale2,
-                 self._sweep_err, self._sweep_err1) = quantize_int8_resid(self._data)
+                 self._sweep_err, self._sweep_err1) = aux
             else:
                 from ..ops.pallas_knn_t import quantize_resid
 
                 (self._sweep_resid, self._sweep_rscale,
                  self._sweep_err, self._sweep_err1) = quantize_resid(self._data)
         elif self._int8_sweep() and self._data_t is not None:
-            from ..ops.pallas_knn_t import quantize_int8_rows
+            if aux is None or len(aux) != 3:
+                from ..ops.pallas_knn_t import quantize_int8
 
-            _, self._sweep_rscale, self._sweep_err = quantize_int8_rows(self._data)
+                aux = quantize_int8(self._data)
+            _, self._sweep_rscale, self._sweep_err = aux
         else:
             self._sweep_err = self._build_sweep_err()
 

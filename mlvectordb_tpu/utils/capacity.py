@@ -53,10 +53,14 @@ def plan_capacity(
     cap = config.round_capacity(n_vectors)
     per_dim = itemsize
     # transposed sweep mirror (config.sweep_dtype) + the int8 residual-correction
-    # codes of the mixed certified config ride in HBM next to the store
+    # codes of the mixed certified configs ride in HBM next to the store
     if config.sweep_dtype is not None:
-        per_dim += 2 if config.sweep_dtype == "bfloat16" else 4
-        mixed = config.dtype == "float32" and config.sweep_dtype == "bfloat16"
+        sweep_itemsize = {"bfloat16": 2, "int8": 1}.get(config.sweep_dtype, 4)
+        per_dim += sweep_itemsize
+        # residual codes: bf16 mirror keeps int8 codes of row - bf16(row); the
+        # int8 PRIMARY sweep keeps a second int8 stream (two-level quantizer) —
+        # 1 byte/dim either way (both configs are "mixed": rescan is f32)
+        mixed = config.dtype == "float32" and config.sweep_dtype in ("bfloat16", "int8")
         if mixed and config.sweep_resid:
             per_dim += 1
     data = cap * dpad * per_dim

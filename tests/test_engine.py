@@ -532,3 +532,48 @@ def test_filter_prep_cache_scoped_by_version(qp):
     assert d2 is not d1  # version bumped -> fresh prep scope
     r2 = qp.find_similar(q, top_k=5, namespace="f", metric="euclidean", filter=spec)
     assert all(v["metadata"]["g"] == 0 for v in r2)
+
+
+def test_heavy_warm_uses_filter_scoped_prep():
+    """A FILTERED escalation's background heavy-warm must fill the per-(filter,
+    version) prep dict, never the snapshot's own prep cache — a masked prep built
+    from the filter-ANDed liveness filed under the snapshot's keys would make later
+    unfiltered tombstone-masked searches rank (and certify) against rows the old
+    filter excluded (round-4 self-review finding #1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mlvectordb_tpu.config import EngineConfig
+    from mlvectordb_tpu.engine.query_processor import QueryProcessor
+    from mlvectordb_tpu.ops.pallas_knn_t import SWEEP_TILE
+
+    config = EngineConfig(sweep_dtype="bfloat16")
+    qp = QueryProcessor(config=config)
+    rng = np.random.default_rng(0)
+    n = 2 * SWEEP_TILE
+    qp.bulk_load(rng.standard_normal((n, 128)).astype(np.float32), "w")
+    ns = qp.storage.namespace("w")
+    state = ns.device_state()
+    fmask = np.zeros(n, bool)
+    fmask[: n // 2] = True
+    valid = jnp.logical_and(state.valid, jnp.asarray(fmask))
+    filter_prep: dict = {}
+
+    import time as _time
+
+    qp._warm_heavy_then_switch("w", state, 8, 8, "l2", None, valid,
+                               prep_cache=filter_prep)
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        with qp._cert_lock:
+            if "w" not in qp._heavy_warms:
+                break
+        _time.sleep(0.2)
+    assert qp._cert_mode.get("w") == "heavy"
+    assert not state.prep_cache, (
+        "heavy warm filed filter-scoped prep in the snapshot cache"
+    )
+    if jax.default_backend() == "tpu":  # CPU runs the scan backend: no prep at all
+        assert filter_prep, "heavy warm should have populated the filter-scoped dict"
+        assert all(k[3] is True for k in filter_prep)  # masked entries only
