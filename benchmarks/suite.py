@@ -320,14 +320,20 @@ def main() -> int:
         VectorDTO(rng.standard_normal(128).astype(np.float32), {"i": i}) for i in range(1024)
     ]
     qp.upsert_many(batch, "bench")  # allocate + compile scatter
+    ns_b = qp.storage.namespace("bench")
+    # FENCE: without a device readback here the previous row's queued async work
+    # (the DEEP sweep) bleeds into iteration 1 and the row can read 10-20x slow
+    np.asarray(jax.device_get(ns_b.device_state().sq_norms[:1]))
     t0 = time.perf_counter()
     iters = 5 if args.quick else 20
     for it in range(iters):
         qp.upsert_many(
             [VectorDTO(v.values, v.metadata, id=v.id) for v in batch], "bench"
         )
+    np.asarray(jax.device_get(ns_b.device_state().sq_norms[:1]))  # drain the queue
     dt = (time.perf_counter() - t0) / iters
-    log(f"upsert: {1024/dt:,.0f} vectors/s (batch-1024 overwrite, incl. host bookkeeping)")
+    log(f"upsert: {1024/dt:,.0f} vectors/s (batch-1024 overwrite; relay-RTT bound: "
+        f"~2-3 round trips/batch through the axon tunnel)")
     emit("upsert_throughput", 1024 / dt, "vectors_per_s", batch=1024)
 
     log("\nALL RESULTS:")
