@@ -440,19 +440,27 @@ class QueryProcessor:
             if ns.version != v0:
                 # a write published between our version read and the mask build:
                 # the mask (live tables, keyed by live version) may not match the
-                # snapshot arrays, and caching prep built from THIS snapshot under
-                # the NEWER version would poison every later filtered search at
-                # that version (it would mask rows the old snapshot lacked while
-                # the certificate still certified).  Re-snapshot via the RCU retry.
-                # NB: compared against v0, not state.version — version can move
-                # WITHOUT a republish (an IVF build bumps it to drop result
-                # caches while the arrays are unchanged), so the snapshot's own
-                # stamp may legitimately lag the live counter forever.
+                # snapshot arrays.  Re-snapshot via the RCU retry.  NB: compared
+                # against v0, not state.version — version can move WITHOUT a
+                # republish (an IVF build bumps it to drop result caches while
+                # the arrays are unchanged), so the snapshot's own stamp may
+                # legitimately lag the live counter forever.
                 raise RuntimeError("snapshot deleted (version moved during mask build)")
             valid = jnp.logical_and(valid, jnp.asarray(mask))
-            # masked prep depends on the filtered liveness — use a dict scoped to
-            # this (filter, bracketed version) so repeated filters reuse their prep
-            prep_cache = self._filter_masks.prep_cache_for(ns, filter, version=v0)
+            # masked prep depends on the filtered liveness — scope it INSIDE the
+            # snapshot's own prep dict, keyed by the filter: prep then lives and
+            # dies with the snapshot's arrays, so no version arithmetic can file
+            # stale prep under a future version (writers bump ns.version BEFORE
+            # publishing, so any version-keyed side cache has a poisoning window
+            # between the bump and the publish — round-4 review #2).  Bounded:
+            # each entry holds ~cap*8 B of prep rows, so a many-distinct-filter
+            # workload gets a per-call throwaway dict past 32 entries instead of
+            # pinning HBM for the snapshot's lifetime.
+            fk = ("filter", filter_cache_key(filter))
+            if fk in state.prep_cache or len(state.prep_cache) < 32:
+                prep_cache = state.prep_cache.setdefault(fk, {})
+            else:
+                prep_cache = {}
 
         # counters come from the SNAPSHOT, never the live store attributes: a concurrent
         # upsert bumps host tables before publishing the scattered arrays, and pairing
@@ -488,7 +496,8 @@ class QueryProcessor:
             # the SAME device fetch (no extra round trip) and feeds the per-namespace
             # escalation counters in /statistics
             want_tier = bool(self.config.certify_exact) and state.data_t is not None
-            use_light = self._use_light(namespace, state)
+            use_light = self._use_light(namespace, state, metric,
+                                        masked=live_prefix is None)
             with trace_span("knn_kernel", namespace=namespace, k=kb, batch=Bb):
                 out = backend(
                     jnp.asarray(q_pad), state.data, valid, state.sq_norms,
@@ -543,7 +552,21 @@ class QueryProcessor:
         with self._cert_lock:
             return dict(self._cert_tiers.get(namespace, {}))
 
-    def _use_light(self, namespace: str, state) -> bool:
+    def _explain_dispatch(self, ns, namespace, metric, *, masked, fused_active):
+        """The dispatch label for explain_query — side-effect free (no snapshot)."""
+        eligible = (
+            ns is not None
+            and self.config.adaptive_certify
+            and getattr(ns, "_sweep_resid", None) is not None
+            and getattr(ns, "_data_t", None) is not None
+            and ns._data_t.dtype == jnp.bfloat16
+        )
+        if eligible:
+            return self._cert_mode.get((namespace, metric, masked), "light")
+        return "heavy" if fused_active else "exact-scan"
+
+    def _use_light(self, namespace: str, state, metric: str = "l2",
+                   masked: bool = False) -> bool:
         """Adaptive certified dispatch (config.adaptive_certify): serve the namespace
         with the LIGHT single-pass certified program — one MXU pass, no residual
         stream; the proof carries the uncompensated query-rounding term per window —
@@ -558,7 +581,11 @@ class QueryProcessor:
             or state.data_t.dtype != jnp.bfloat16
         ):
             return False
-        return self._cert_mode.get(namespace, "light") == "light"
+        # mode is per (namespace, metric, masked-variant): the heavy warm compiles
+        # that variant's bucket grid, so flipping only it keeps every OTHER
+        # variant on the (always-compiled) light program instead of landing its
+        # first post-flip query on a cold multi-minute certified compile
+        return self._cert_mode.get((namespace, metric, masked), "light") == "light"
 
     def _warm_heavy_then_switch(
         self, namespace, state, Bb, kb, metric, live_prefix, valid_override,
@@ -581,10 +608,12 @@ class QueryProcessor:
         from the filter-ANDed liveness under the snapshot's own keys, and later
         tombstone-masked unfiltered searches would rank — and certify — against
         rows the old filter excluded."""
+        mode_key = (namespace, metric, live_prefix is None)
         with self._cert_lock:
-            if namespace in self._heavy_warms or self._cert_mode.get(namespace) == "heavy":
+            if (mode_key in self._heavy_warms
+                    or self._cert_mode.get(mode_key) == "heavy"):
                 return
-            self._heavy_warms.add(namespace)
+            self._heavy_warms.add(mode_key)
 
         backend = knn_backend(self.config)
         valid = state.valid if valid_override is None else valid_override
@@ -617,12 +646,12 @@ class QueryProcessor:
                 with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as pool:
                     list(pool.map(lambda p: warm_one(*p), pairs))
                 with self._cert_lock:
-                    self._cert_mode[namespace] = "heavy"
+                    self._cert_mode[mode_key] = "heavy"
             except Exception:  # pragma: no cover - compile failure: stay light
                 logger.exception("heavy certified program warm failed for %r", namespace)
             finally:
                 with self._cert_lock:
-                    self._heavy_warms.discard(namespace)
+                    self._heavy_warms.discard(mode_key)
 
         threading.Thread(target=run, name=f"mlvdb-heavy-warm-{namespace}", daemon=True).start()
 
@@ -909,15 +938,14 @@ class QueryProcessor:
             # program (int8/same-dtype sweeps, no residual stream, sharded)
             # report "heavy", not the mode dict's optimistic default.
             # light-eligible namespaces (per their own arrays) surface the adaptive
-            # mode; ineligible ones (int8/same-dtype sweeps, no residual stream)
-            # report the program they actually dispatch — "heavy" when the fused
-            # kernel engages, the exact scan otherwise
-            "certificate_dispatch": (
-                self._cert_mode.get(namespace, "light")
-                if ns is not None and self._use_light(namespace, ns.device_state())
-                else "heavy" if ns is not None and self._cert_mode.get(namespace) == "heavy"
-                else "heavy" if fused_active
-                else "exact-scan"
+            # mode of the REQUESTED (metric, filtered) variant; ineligible ones
+            # (int8/same-dtype sweeps, no residual stream) report the program they
+            # actually dispatch — "heavy" when the fused kernel engages, the exact
+            # scan otherwise.  Eligibility reads store attributes, NOT
+            # device_state(): a describe-only endpoint must not raise on empty
+            # namespaces or page offloaded ones back into HBM.
+            "certificate_dispatch": self._explain_dispatch(
+                ns, namespace, m, masked=bool(filter), fused_active=fused_active,
             )
             if self.config.certify_exact
             else "margin" if margin_mode else "exact-scan",
@@ -1047,7 +1075,9 @@ class QueryProcessor:
                                 # specialization would leave first queries cold
                                 report_tier=bool(self.config.certify_exact)
                                 and state.data_t is not None,
-                                sweep_light=self._use_light(namespace, state),
+                                sweep_light=self._use_light(
+                                    namespace, state, mc,
+                                    masked=live_prefix is None),
                                 sweep_prep=state.prep_cache,
                             )[:2]
                             # a REAL readback, not block_until_ready: through the

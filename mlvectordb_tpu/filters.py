@@ -102,7 +102,6 @@ class FilterMaskCache:
 
     def __init__(self, max_entries: int = 64):
         self._cache: Dict[Tuple[str, str, int, int], np.ndarray] = {}
-        self._prep: Dict[Tuple[str, str, int, int], dict] = {}
         self._max = max_entries
 
     def mask_for(self, ns_store, spec: Dict[str, Any]) -> np.ndarray:
@@ -143,39 +142,8 @@ class FilterMaskCache:
 
         if len(self._cache) >= self._max:
             self._cache.clear()
-            self._prep.clear()
         self._cache[key] = mask
         return mask
-
-    def prep_cache_for(self, ns_store, spec: Dict[str, Any], *,
-                       version: Optional[int] = None) -> dict:
-        """A kernel prep-cache dict scoped to this (filter, store version) pair.
-
-        Filtered searches run the MASKED kernel variant, whose query-independent
-        prep (bias row with the filter's maskadd folded in, per-window certificate
-        bounds over the filtered liveness) depends on the filter mask — so it can
-        never live in the snapshot's own prep cache.  Repeated filters are the
-        common serving pattern; keying a dict by the same (name, incarnation,
-        filter, version, capacity) tuple as the mask lets the kernel reuse the
-        prep across calls and drop ~0.1-0.3 ms/batch of inline prep at 1M rows.
-
-        ``version`` MUST be the SNAPSHOT's version (DeviceState.version), never
-        the live ``ns_store.version``: a write publishing between the caller's
-        snapshot and this call would otherwise file prep built from the old
-        snapshot's arrays under the new version, and every later filtered search
-        at that version would rank (and certify) against stale liveness."""
-        key = (
-            ns_store.name, getattr(ns_store, "incarnation", ""),
-            filter_cache_key(spec),
-            ns_store.version if version is None else version,
-            ns_store.capacity,
-        )
-        prep = self._prep.get(key)
-        if prep is None:
-            if len(self._prep) >= self._max:
-                self._prep.clear()
-            prep = self._prep.setdefault(key, {})
-        return prep
 
 
 def _validate_spec_ops(spec: Any) -> None:

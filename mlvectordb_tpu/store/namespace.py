@@ -81,12 +81,11 @@ class DeviceState(NamedTuple):
     # (benchmarks/probe_qprep.py).  A fresh dict per publish — the arrays are only
     # valid for THIS snapshot's data/hw.  Mutated in place by readers (GIL-atomic
     # get/set; a racing reader at worst recomputes the same arrays).
+    # Filtered searches nest their prep under ("filter", filter_cache_key) inside
+    # this same dict, so filter-scoped prep lives and dies with the snapshot —
+    # version-keyed side caches have a poisoning window because writers bump
+    # ns.version BEFORE publishing.
     prep_cache: Optional[dict] = None
-    # Store version captured at publish: readers scoping caches to a snapshot (the
-    # filter-mask / filter-prep caches) MUST key by this, never by the live
-    # ns.version — a write publishing between snapshot and cache fill would
-    # otherwise file arrays built from the OLD snapshot under the NEW version.
-    version: int = -1
 
 
 # NOTE: deliberately NOT donated.  Donating the store buffers makes writes zero-copy,
@@ -332,7 +331,6 @@ class NamespaceStore:
             host_tables=(self._slot_ids, self._slot_meta, self._slot_values)
             if self.host_mirror else None,
             prep_cache={},
-            version=self.version,
         )
 
     # ------------------------------------------------------------------ allocation
@@ -447,9 +445,11 @@ class NamespaceStore:
                  self._sweep_err, self._sweep_err1) = quantize_resid(self._data)
         elif self._int8_sweep() and self._data_t is not None:
             if aux is None or len(aux) != 3:
-                from ..ops.pallas_knn_t import quantize_int8
+                # rows variant: the sweep-layout codes are discarded here, so the
+                # whole-store transpose quantize_int8 adds would be thrown away
+                from ..ops.pallas_knn_t import quantize_int8_rows
 
-                aux = quantize_int8(self._data)
+                aux = quantize_int8_rows(self._data)
             _, self._sweep_rscale, self._sweep_err = aux
         else:
             self._sweep_err = self._build_sweep_err()

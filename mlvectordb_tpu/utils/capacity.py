@@ -57,11 +57,15 @@ def plan_capacity(
     if config.sweep_dtype is not None:
         sweep_itemsize = {"bfloat16": 2, "int8": 1}.get(config.sweep_dtype, 4)
         per_dim += sweep_itemsize
-        # residual codes: bf16 mirror keeps int8 codes of row - bf16(row); the
-        # int8 PRIMARY sweep keeps a second int8 stream (two-level quantizer) —
-        # 1 byte/dim either way (both configs are "mixed": rescan is f32)
-        mixed = config.dtype == "float32" and config.sweep_dtype in ("bfloat16", "int8")
-        if mixed and config.sweep_resid:
+        # residual codes: bf16 mirror keeps int8 codes of row - bf16(row) (only
+        # for MIXED f32 stores); the int8 PRIMARY sweep keeps a second int8
+        # stream (two-level quantizer) for ANY store dtype — mirror
+        # NamespaceStore._use_resid exactly, or the planner under-counts and a
+        # "fits" verdict OOMs on load
+        resid_applies = config.sweep_dtype == "int8" or (
+            config.dtype == "float32" and config.sweep_dtype == "bfloat16"
+        )
+        if resid_applies and config.sweep_resid:
             per_dim += 1
     data = cap * dpad * per_dim
     # valid (1B) + sq_norms (4B) + certificate scalars (scale/err, <=12B) +

@@ -492,9 +492,10 @@ def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
     assert seen[0][0] is True, "first dispatch must be the light program"
     # the escalation spawns a background heavy warm; wait for the switch
     deadline = _time.time() + 10.0
-    while qp._cert_mode.get("ns") != "heavy" and _time.time() < deadline:
+    mode_key = ("ns", "l2", False)  # unfiltered l2 traffic triggered the escalation
+    while qp._cert_mode.get(mode_key) != "heavy" and _time.time() < deadline:
         _time.sleep(0.02)
-    assert qp._cert_mode.get("ns") == "heavy", "escalation must flip dispatch to heavy"
+    assert qp._cert_mode.get(mode_key) == "heavy", "escalation must flip dispatch to heavy"
     tiers = qp.cert_tier_counts("ns")
     assert tiers.get("light_exact_scan", 0) >= 1
 
@@ -509,11 +510,15 @@ def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
     assert "ns" in stats["exactness"]["tiers_by_namespace"]
 
 
-def test_filter_prep_cache_scoped_by_version(qp):
-    """Repeated filtered searches reuse a prep dict scoped to (filter, version);
-    a mutation (version bump) must switch to a fresh dict, never reuse stale prep."""
+def test_filter_prep_scoped_inside_snapshot(qp):
+    """Filtered searches nest their prep under ("filter", key) INSIDE the
+    snapshot's own prep dict, so prep lives and dies with the snapshot's arrays —
+    a mutation publishes a fresh dict and stale filter prep can never survive it
+    (version-keyed side caches have a poisoning window because writers bump
+    ns.version before publishing)."""
     import numpy as np
 
+    from mlvectordb_tpu.filters import filter_cache_key
     from mlvectordb_tpu.interfaces.vector import VectorDTO
 
     rng = np.random.default_rng(0)
@@ -522,14 +527,16 @@ def test_filter_prep_cache_scoped_by_version(qp):
          for i in range(64)], "f")
     ns = qp.storage.namespace("f")
     spec = {"g": 0}
-    d1 = qp._filter_masks.prep_cache_for(ns, spec)
-    assert qp._filter_masks.prep_cache_for(ns, spec) is d1  # stable across calls
     q = VectorDTO(vs[0].values)
     r1 = qp.find_similar(q, top_k=5, namespace="f", metric="euclidean", filter=spec)
     assert all(v["metadata"]["g"] == 0 for v in r1)
+    state1 = ns.device_state()
+    key = ("filter", filter_cache_key(spec))
+    assert key in state1.prep_cache  # nested scope created by the filtered search
     qp.upsert_many([VectorDTO(rng.standard_normal(16).astype(np.float32), {"g": 0})], "f")
-    d2 = qp._filter_masks.prep_cache_for(ns, spec)
-    assert d2 is not d1  # version bumped -> fresh prep scope
+    state2 = ns.device_state()
+    assert state2.prep_cache is not state1.prep_cache  # fresh dict per publish
+    assert key not in state2.prep_cache
     r2 = qp.find_similar(q, top_k=5, namespace="f", metric="euclidean", filter=spec)
     assert all(v["metadata"]["g"] == 0 for v in r2)
 
@@ -567,12 +574,13 @@ def test_heavy_warm_uses_filter_scoped_prep():
     deadline = _time.time() + 180
     while _time.time() < deadline:
         with qp._cert_lock:
-            if "w" not in qp._heavy_warms:
+            if not qp._heavy_warms:
                 break
         _time.sleep(0.2)
-    assert qp._cert_mode.get("w") == "heavy"
-    assert not state.prep_cache, (
-        "heavy warm filed filter-scoped prep in the snapshot cache"
+    assert qp._cert_mode.get(("w", "l2", True)) == "heavy"
+    assert not any(not isinstance(k2, tuple) or k2[0] != "filter"
+                   for k2 in state.prep_cache), (
+        "heavy warm filed filter-scoped prep under the snapshot's own keys"
     )
     if jax.default_backend() == "tpu":  # CPU runs the scan backend: no prep at all
         assert filter_prep, "heavy warm should have populated the filter-scoped dict"
