@@ -93,6 +93,7 @@ def main():
         "bf16 cert       ": (dict(), dict(sweep_err=serr_bf), True, dbt_bf),
         "bf16+resid cert ": (dict(), dict(sweep_err=err2, resid=resid, rscale=rscale, err1=err1), True, dbt_bf),
         "int8 margin     ": (dict(), dict(sweep_err=e8, rscale=s8), False, z8),
+        "int8 cert e8band": (dict(), dict(sweep_err=e8, rscale=s8), True, z8),
         "int8+resid cert ": (dict(), dict(sweep_err=e2r, resid=z2r, rscale=s1r, err1=e1r, rscale2=s2r), True, z1r),
     }
 
