@@ -149,10 +149,23 @@ def main():
         v2, w2i, fl = pkt._topk_spec(wmin2, s2)
         return v2, jnp.sort(w2i, axis=1)
 
+    def l3a_barrier(qq, ddt, br, dd):
+        f = jnp.sort(_sel_positions(qq, ddt, br, dd), axis=1)
+        f = jax.lax.optimization_barrier(f)   # cut fusion across the boundary
+        qq32 = qq.astype(jnp.float32)
+        dataw = dd.reshape(N // r1, r1 * D)
+        sub = dataw[f.reshape(-1)].reshape(B, -1, D)
+        sub = jax.lax.optimization_barrier(sub)
+        dots = jnp.sum(sub * qq32[:, None, :], axis=-1)
+        sqn_c = jnp.sum(sub * sub, axis=-1)
+        qn = jnp.sum(qq32 * qq32, axis=-1)[:, None]
+        dist = jnp.maximum(qn + sqn_c - 2.0 * dots, 0.0)
+        return pkt._topk_min(dist, K)
+
     stages = [("L0 wmin      ", wmins), ("L1 +L2sel    ", sel_l1),
               ("L2 +refine   ", sel_l2), ("L3a +gath+dot", l3a_gather_dot),
               ("L3b +dist    ", l3b_dist), ("L3c +finaltop", l3c_final),
-              ("L3 full path ", full)]
+              ("L3x +barrier ", l3a_barrier), ("L3 full path ", full)]
     prev = 0.0
     for name, fn in stages:
         t, ts = med(jax.jit(fn), [q, dbt, bias_row, data])
