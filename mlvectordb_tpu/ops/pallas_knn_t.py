@@ -235,7 +235,7 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
     r1 = R1MAX // g
 
     def kernel(q_ref, qr_ref, db_ref, resid_ref, rscale_ref, scale_ref, bias_ref,
-               out_ref):
+               out_ref, *out2):
         db = db_ref[:]
         if db.dtype == jnp.int8:
             # int8 PRIMARY sweep: codes are integers <= 127, exact in bf16; the
@@ -281,16 +281,20 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
                 out_ref[0, :, a * WLANE : (a + 1) * WLANE] = acc
             else:
                 out_ref[:, a * WLANE : (a + 1) * WLANE] = acc
-            # NOTE an in-kernel block-min epilogue (second output [Bt, g]) was
-            # tried and reverted: Mosaic requires output block minor dims divisible
-            # by 128 (or full-width), and cross-lane mins land on [Bt, 1] stores.
-            # The XLA reduce re-reads wmin (~0.2 ms at DEEP shape) instead.
+            if out2:
+                # LEVEL-2 block-min epilogue (g=1 only: one 128-window block per
+                # tile): the cross-lane min lands on sublanes, so broadcast it
+                # across 8 sublanes to satisfy Mosaic's (8, 128)-divisible output
+                # block rule — a 4 KB store per tile in place of the XLA reduce's
+                # full re-read of the window-min matrix (~0.2-0.6 ms at DEEP).
+                out2[0][0] = jnp.broadcast_to(jnp.min(acc, axis=1)[None, :],
+                                              out2[0].shape[1:])
 
     return kernel
 
 
 def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
-                 q_tile, g, transposed=False):
+                 q_tile, g, transposed=False, emit_block_mins=False):
     """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
     None), data_t [Dp, cap] sweep layout -> window-min positions
     [B, cap // (R1MAX//g)].  resid_t [Dp, cap] int8 + rscale_row [1, cap]: optional
@@ -310,11 +314,23 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
     nt = cap // SWEEP_TILE
     grid = (nt, B // q_tile)  # db outermost: one HBM sweep total
     resid_bytes = cap * (Dp + 4) if use_resid else 0
+    if emit_block_mins and not (transposed and g == 1):
+        raise ValueError("emit_block_mins requires the transposed g=1 layout")
     if transposed:
         out_shape = jax.ShapeDtypeStruct((nt, B, out_w), jnp.float32)
         out_specs = pl.BlockSpec(
             (1, q_tile, out_w), lambda di, qi: (di, qi, 0), memory_space=pltpu.VMEM
         )
+        if emit_block_mins:
+            # second output: per-tile block mins, min over the tile's out_w
+            # window-mins, broadcast over 8 sublanes (Mosaic block-shape rule);
+            # consumers read [:, 0, :].T -> [B, nt]
+            out_shape = [out_shape, jax.ShapeDtypeStruct((nt, 8, B), jnp.float32)]
+            out_specs = [
+                out_specs,
+                pl.BlockSpec((1, 8, q_tile), lambda di, qi: (di, 0, qi),
+                             memory_space=pltpu.VMEM),
+            ]
     else:
         out_shape = jax.ShapeDtypeStruct((B, nt * out_w), jnp.float32)
         out_specs = pl.BlockSpec(
@@ -342,7 +358,7 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * cap * Dp * ((2 if two_pass else 1) + (1 if use_resid else 0)),
             bytes_accessed=cap * Dp * data_t.dtype.itemsize + resid_bytes
-            + B * nt * out_w * 4,
+            + B * nt * out_w * 4 + (nt * 8 * B * 4 if emit_block_mins else 0),
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
@@ -454,7 +470,7 @@ def _flat_rows(mat3, idx):
 
 def _select_and_rescan(
     q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None,
-    e_pos=None, q_err=None, r2=R2, wmin_t=None, spec_l2=False,
+    e_pos=None, q_err=None, r2=R2, wmin_t=None, spec_l2=False, wmin2=None,
 ):
     """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
 
@@ -501,10 +517,11 @@ def _select_and_rescan(
         W2 = P // r2
         if wmin_t is not None:
             gb = out_w // r2                              # blocks per tile (= g)
-            wmin2 = (
-                wmin_t.reshape(nt, B, gb, r2).min(axis=-1)
-                .transpose(1, 0, 2).reshape(B, W2)        # [B, W2]; moves B*W2*4 B
-            )
+            if wmin2 is None:                             # else: in-kernel epilogue
+                wmin2 = (
+                    wmin_t.reshape(nt, B, gb, r2).min(axis=-1)
+                    .transpose(1, 0, 2).reshape(B, W2)    # [B, W2]; moves B*W2*4 B
+                )
         else:
             wmin3 = wmin.reshape(B, W2, r2)
             wmin2 = wmin3.min(axis=-1)                    # [B, W2]
@@ -817,10 +834,19 @@ def _fused_t(
     P_all = cap // r1
     transposed = k <= 128 and P_all % WLANE == 0 and P_all // WLANE > 1
     r2 = WLANE if (transposed and k <= 32) else R2
+    # g=1 + 128-wide blocks: the sweep kernel emits the level-2 block mins in an
+    # epilogue (4 KB/tile store), replacing the XLA reduce's full re-read of the
+    # window-min matrix (~0.2-0.6 ms at DEEP shape)
+    emit_bm = transposed and r2 == WLANE and g == 1
     wm = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
         scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
+        emit_block_mins=emit_bm,
     )
+    wmin2_pre = None
+    if emit_bm:
+        wm, wm2raw = wm
+        wmin2_pre = wm2raw[:, 0, :].T                     # [B, nt] block mins
     wmin, wmin_t = (None, wm) if transposed else (wm, None)
 
     # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
@@ -872,6 +898,7 @@ def _fused_t(
             q32, qn_row[:, None], rescan, maskadd, hw, wmin,
             k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
             e_pos=e_pos, q_err=q_err, r2=r2, wmin_t=wmin_t, spec_l2=certify,
+            wmin2=wmin2_pre,
         )
         return d, i, jnp.all(check_exact(d, th))
 
