@@ -509,6 +509,14 @@ def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
     stats = qp.get_statistics()
     assert "ns" in stats["exactness"]["tiers_by_namespace"]
 
+    # the flip is PER (metric, masked-variant): the heavy warm only compiled the
+    # l2 unfiltered bucket grid, so cosine traffic must stay on the (always-
+    # compiled) light program instead of stalling on a cold heavy compile
+    # (no explain assertion here: this cosine call escalates in the fake too and
+    # spawns its own background warm, so the mode may flip at any moment after)
+    qp.find_similar(VectorDTO(q), top_k=3, namespace="ns", metric="cosine")
+    assert seen[-1][0] is True, "cosine variant must stay light after an l2 flip"
+
 
 def test_filter_prep_scoped_inside_snapshot(qp):
     """Filtered searches nest their prep under ("filter", key) INSIDE the
