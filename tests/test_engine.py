@@ -513,9 +513,12 @@ def test_adaptive_certified_dispatch_switches_on_escalation(rng, monkeypatch):
     # l2 unfiltered bucket grid, so cosine traffic must stay on the (always-
     # compiled) light program instead of stalling on a cold heavy compile
     # (no explain assertion here: this cosine call escalates in the fake too and
-    # spawns its own background warm, so the mode may flip at any moment after)
+    # spawns its own background warm, so the mode may flip at any moment after —
+    # and that warm's backend call appends to ``seen`` concurrently, so the
+    # cosine dispatch is read at its own index, not seen[-1])
+    n_before = len(seen)
     qp.find_similar(VectorDTO(q), top_k=3, namespace="ns", metric="cosine")
-    assert seen[-1][0] is True, "cosine variant must stay light after an l2 flip"
+    assert seen[n_before][0] is True, "cosine variant must stay light after an l2 flip"
 
 
 def test_filter_prep_scoped_inside_snapshot(qp):
