@@ -38,8 +38,9 @@ This redesign makes every phase-2 access either a CONTIGUOUS wide-row gather
 
 Phase 1 ranks, it does not score (per-query constants dropped; the metric's scalar
 factor folds into the query operand).  Exactness (default, ``certify=True``) is
-MACHINE-CHECKED per query: selection runs on per-window optimistic bounds
-(window-min minus that window's own measured data-side error norm), and the
+MACHINE-CHECKED per query: the sweep kernel emits OPTIMISTIC window-mins directly
+(each column's rank lowered by its own measured data-side error norm, scaled per
+query — a rank-1 FMA folded into the bandwidth-bound sweep), and the
 certificate proves that every window left unscanned has true min rank beyond the
 k-th found distance.  Escalation is three-tier — certified fast selection, an 8x
 wider selection reusing the same window-min matrix, then a full-precision exact
@@ -211,9 +212,10 @@ def _phase1_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
-def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
-    """rank = dots [+ resid correction] [* scale_row] + bias_row, then grouped
-    window-min over lane slices.
+def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
+                  n_eb: int = 0):
+    """rank = dots [+ resid correction] [* scale_row] + bias_row
+    [- sum_t qe_t * eb_t], then grouped window-min over lane slices.
 
     bias_row carries everything per-row (l2 sq_norms, tombstone/filter mask, unwritten
     tail) in sweep column order, so the kernel has no branches at all.  Group a of the
@@ -231,11 +233,21 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
     ~2^-8x: phase-1 ranks become exact enough that tier-1 certifies even on corpora
     whose neighbour gaps sit far below the raw bf16 band (VERDICT r3 #1).  Costs
     +1 byte/element of HBM and one bf16 MXU pass.
+
+    ``n_eb``: number of per-row certificate error-bound terms FOLDED INTO THE
+    SWEEP (0..2).  Each term is a [1, T] per-row bound eb_t in sweep column order
+    scaled by a per-query factor qe_t (lane t of qe_ref): the emitted window-mins
+    become the certificate's OPTIMISTIC lower bounds directly.  Folding here is a
+    rank-1 VPU FMA on a bandwidth-bound kernel (free) and replaces the downstream
+    per-window adjustment passes — whose refine-stage form was per-candidate
+    128-byte row gathers, the slowest gather class on this hardware (~3 GB/s,
+    round-3 gather probe).  min_r (rank_r - qe*e_r) is also a TIGHTER bound than
+    the old min_r rank_r - qe*max_r e_r, so tier-1 certifies strictly more often.
     """
     r1 = R1MAX // g
 
     def kernel(q_ref, qr_ref, db_ref, resid_ref, rscale_ref, scale_ref, bias_ref,
-               out_ref, *out2):
+               qe_ref, eb1_ref, eb2_ref, out_ref, *out2):
         db = db_ref[:]
         if db.dtype == jnp.int8:
             # int8 PRIMARY sweep: codes are integers <= 127, exact in bf16; the
@@ -272,6 +284,9 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
         if use_scale:
             rank = rank * scale_ref[:]
         rank = rank + bias_ref[:]
+        for t in range(n_eb):
+            ebr = (eb1_ref, eb2_ref)[t]
+            rank = rank - qe_ref[:, t : t + 1] * ebr[:]
         for a in range(g):
             acc = rank[:, (a * r1) * WLANE : (a * r1 + 1) * WLANE]
             for rr in range(1, r1):
@@ -294,11 +309,17 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool):
 
 
 def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
-                 q_tile, g, transposed=False, emit_block_mins=False):
+                 q_tile, g, transposed=False, emit_block_mins=False,
+                 qe=None, eb_rows=()):
     """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
     None), data_t [Dp, cap] sweep layout -> window-min positions
     [B, cap // (R1MAX//g)].  resid_t [Dp, cap] int8 + rscale_row [1, cap]: optional
     residual-correction operands (see _sweep_kernel).
+
+    ``qe`` [B, 128] f32 + ``eb_rows`` (up to two [1, cap] f32 rows in sweep column
+    order): per-query scales and per-row certificate error bounds folded into the
+    emitted mins — see _sweep_kernel's n_eb.  The mins are then the certificate's
+    optimistic bounds directly.
 
     ``transposed``: emit [nt, B, out_w] (tile-major) instead of [B, nt*out_w].
     The [B, P] form writes each tile's mins as q_tile rows of out_w*4-byte chunks
@@ -311,6 +332,9 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
     out_w = g * WLANE
     two_pass = qres is not None
     use_resid = resid_t is not None
+    n_eb = len(eb_rows)
+    if n_eb and (qe is None or qe.shape != (B, 128)):
+        raise ValueError("eb_rows needs qe [B, 128] per-query scales")
     nt = cap // SWEEP_TILE
     grid = (nt, B // q_tile)  # db outermost: one HBM sweep total
     resid_bytes = cap * (Dp + 4) if use_resid else 0
@@ -337,7 +361,7 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
             (q_tile, out_w), lambda di, qi: (qi, di), memory_space=pltpu.VMEM
         )
     return pl.pallas_call(
-        _sweep_kernel(g, scale_row is not None, two_pass, use_resid),
+        _sweep_kernel(g, scale_row is not None, two_pass, use_resid, n_eb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, Dp), lambda di, qi: (qi, 0), memory_space=pltpu.VMEM),
@@ -351,6 +375,9 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
             pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 128), lambda di, qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SWEEP_TILE), lambda di, qi: (0, di), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -358,6 +385,7 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * cap * Dp * ((2 if two_pass else 1) + (1 if use_resid else 0)),
             bytes_accessed=cap * Dp * data_t.dtype.itemsize + resid_bytes
+            + n_eb * cap * 4
             + B * nt * out_w * 4 + (nt * 8 * B * 4 if emit_block_mins else 0),
             transcendentals=0,
         ),
@@ -370,6 +398,9 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
         rscale_row if use_resid else bias_row,
         scale_row if scale_row is not None else bias_row,
         bias_row,
+        qe if n_eb else qh,  # dummy block: never read when n_eb == 0
+        eb_rows[0] if n_eb >= 1 else bias_row,
+        eb_rows[1] if n_eb >= 2 else bias_row,
     )
 
 
@@ -470,7 +501,7 @@ def _flat_rows(mat3, idx):
 
 def _select_and_rescan(
     q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None,
-    e_pos=None, q_err=None, r2=R2, wmin_t=None, spec_l2=False, wmin2=None,
+    r2=R2, wmin_t=None, spec_l2=False, wmin2=None,
 ):
     """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
 
@@ -481,15 +512,12 @@ def _select_and_rescan(
     ``s_sel`` overrides the number of windows selected (the certificate escalation
     tiers pass wider widths).
 
-    ``e_pos`` (+ ``q_err``): sequences of per-window error-bound terms — each pair is
-    a [P] per-window bound (position order) and its [B] per-query scale, and their
-    sum bounds the data-side rank error.  When given, selection and thresholding run
-    on the OPTIMISTIC bounds ``wmin - sum_t q_err[t] * e_pos[t]`` — a sound lower
-    bound on each window's true (full-precision) min rank.  Windows whose phase-1
-    rank is uncertain become attractive to select, so they get rescanned exactly
-    instead of inflating a global error term: the certificate's data-side error
-    localizes to the windows that actually carry it (VERDICT r3 #1 — the batch-wide
-    global-max bound made one large-error row widen every query's requirement)."""
+    Certified callers feed window-mins that are ALREADY the certificate's
+    optimistic per-row lower bounds — the sweep kernel folds the data-side error
+    terms in as a rank-1 FMA (see _sweep_kernel's n_eb) — so selection here needs
+    no error awareness at all: windows whose phase-1 rank is uncertain rank low
+    and get rescanned exactly, and ``thresh`` is directly the optimistic-bound
+    floor the proof compares against."""
     if wmin_t is not None:
         # tile-major transposed window mins [nt, B, out_w] (r2 == WLANE only):
         # block blk = t*g + a covers lanes [a*WLANE, (a+1)*WLANE) of tile t, i.e.
@@ -505,11 +533,6 @@ def _select_and_rescan(
     if wmin_t is not None and not two_level:
         wmin = wmin_t.transpose(1, 0, 2).reshape(B, P)    # tiny P: one-pass convert
         wmin_t = None
-    if e_pos is not None and not two_level:
-        # optimistic per-window bounds; XLA fuses the subtracts into the block-min /
-        # gather consumers, so this costs one extra elementwise read of wmin at most
-        for qe, ep in zip(q_err, e_pos):
-            wmin = wmin - qe[:, None] * ep[None, :]
 
     if two_level:
         # two-level: min-reduce to r2-blocks first — XLA top_k cost is dominated by
@@ -525,18 +548,6 @@ def _select_and_rescan(
         else:
             wmin3 = wmin.reshape(B, W2, r2)
             wmin2 = wmin3.min(axis=-1)                    # [B, W2]
-        if e_pos is not None:
-            # Optimistic bounds at BLOCK granularity for level-2 selection: for any
-            # window w in block blk, o(w) = wmin(w) - sum_t qe_t*ep_t(w)
-            #                            >= wmin2(blk) - sum_t qe_t*max_{w in blk} ep_t(w),
-            # so selecting/thresholding on this LOWER bound stays sound while the
-            # full-width [B, P] adjustment passes disappear (at r1=4/k=1000 they
-            # moved ~0.5 GB of wmin traffic per batch; the block form touches
-            # [B, P/r2]).  The gathered candidate blocks get the EXACT per-window
-            # adjustment below.
-            for qe, ep in zip(q_err, e_pos):
-                ep2 = ep.reshape(W2, r2).max(axis=-1)
-                wmin2 = wmin2 - qe[:, None] * ep2[None, :]
         s2 = min(s, W2)
         # chunked speculative selection at level 2 — CERTIFIED CALLERS ONLY: at
         # k=1000 (W2=8192, s2=1016) the exact pair-sort costs ~1.0 ms where the
@@ -586,12 +597,6 @@ def _select_and_rescan(
                 l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
             else:
                 l1_blk = _flat_rows(wmin3, w2i)           # [B, s2, r2]
-        if e_pos is not None:
-            # exact per-window optimistic bounds, applied only to the gathered
-            # candidate blocks (s2*r2 windows/query, not all P)
-            for qe, ep in zip(q_err, e_pos):
-                e_sel = ep.reshape(W2, r2)[w2i.reshape(-1)].reshape(B, s2, r2)
-                l1_blk = l1_blk - qe[:, None, None] * e_sel
         s1 = min(s, s2 * r2)
         l1_vals = l1_blk.reshape(B, s2 * r2)
         v1, pos, floor = _topk_spec(l1_vals, s1)
@@ -743,22 +748,21 @@ def _prep_terms(valid, sq_norms, hw, rscale, rscale2, sweep_err, err1, *,
     live = maskadd < 1.0
     maxd = jnp.sqrt(jnp.max(jnp.where(live, sqn, 0.0)))
 
-    def win_bounds(row_norms):
-        """Per-row error norms -> per-fine-window bounds in wmin's position order."""
-        e_row = row_norms
+    def eb_row(row_norms):
+        """Per-row error norms -> a [1, cap] bound row in SWEEP COLUMN order,
+        ready for the in-kernel optimistic fold (_sweep_kernel's n_eb)."""
+        e = row_norms
         if metric == "cosine":
-            e_row = e_row * jax.lax.rsqrt(jnp.maximum(sqn, 1e-30))
-        e_row = jnp.where(live, e_row, 0.0)               # dead rows rank as +inf anyway
-        P = cap // r1
-        e_win = e_row.reshape(P, r1).max(axis=-1)
-        return e_win[_pos_to_window(jnp.arange(P, dtype=jnp.int32), g)]
+            e = e * jax.lax.rsqrt(jnp.maximum(sqn, 1e-30))
+        e = jnp.where(live, e, 0.0)                       # dead rows rank as +inf anyway
+        return sweep_rows_1d(e).reshape(1, cap).astype(jnp.float32)
 
     srcs = {"sqn_sqrt": lambda: jnp.sqrt(sqn),
             "sweep_err": lambda: sweep_err,
             "err1": lambda: err1}
-    e_pos = tuple(win_bounds(srcs[s]()) for s in wb_sources)
+    eb_rows = tuple(eb_row(srcs[s]()) for s in wb_sources)
     return {"bias_row": bias_row, "scale_row": scale_row, "rscale_row": rscale_row,
-            "maxd": maxd, "e_pos": e_pos}
+            "maxd": maxd, "eb_rows": eb_rows}
 
 
 _prep_terms_jit = jax.jit(
@@ -838,28 +842,21 @@ def _fused_t(
     # epilogue (4 KB/tile store), replacing the XLA reduce's full re-read of the
     # window-min matrix (~0.2-0.6 ms at DEEP shape)
     emit_bm = transposed and r2 == WLANE and g == 1
-    wm = _window_mins(
-        qh, qres, data_t, resid if use_resid else None, rscale_row,
-        scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
-        emit_block_mins=emit_bm,
-    )
-    wmin2_pre = None
-    if emit_bm:
-        wm, wm2raw = wm
-        wmin2_pre = wm2raw[:, 0, :].T                     # [B, nt] block mins
-    wmin, wmin_t = (None, wm) if transposed else (wm, None)
 
     # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
-    # bound when phase 1 ranks on rounded inputs).  Every fine window NOT rescanned
-    # has OPTIMISTIC bound >= thresh (its as-computed window-min minus its own
-    # data-side error), hence true min rank >= thresh - slack: if that clears the
-    # k-th FOUND rank, no pruned window can hold a closer row and the result is
-    # provably exact.  Failure escalates per batch: a wider selection tier (reusing
-    # the same wmin — selection and rescan only), then a full-precision exact scan.
-    # Correctness never depends on an empirical margin; the tiers only set how fast
-    # the common case is.  The error-term composition is decided statically by
-    # _cert_plan (wb_sources/q_tags/err_tags) and the per-window bound arrays live
-    # in ``prep`` — see _prep_terms for the terms themselves.
+    # bound when phase 1 ranks on rounded inputs).  The sweep kernel emits
+    # OPTIMISTIC window-mins directly: each column's rank is lowered by its own
+    # per-row data-side error bound scaled per query (rank-1 FMA, n_eb terms), a
+    # sound lower bound on the window's true full-precision min rank.  Every fine
+    # window NOT rescanned has optimistic bound >= thresh, hence true min rank
+    # >= thresh - slack: if that clears the k-th FOUND rank, no pruned window can
+    # hold a closer row and the result is provably exact.  Failure escalates per
+    # batch: a wider selection tier (reusing the same wmin — selection and rescan
+    # only), then a full-precision exact scan.  Correctness never depends on an
+    # empirical margin; the tiers only set how fast the common case is.  The
+    # error-term composition is decided statically by _cert_plan
+    # (wb_sources/q_tags/err_tags) and the per-row bound rows live in ``prep``
+    # — see _prep_terms for the terms themselves.
     q_l2 = jnp.sqrt(qn_row)                               # [B]
     qh_l2 = q_l2 * (2.0 if metric == "l2" else 1.0)       # |q_fold|
     maxd = prep["maxd"]
@@ -868,8 +865,14 @@ def _fused_t(
     slack = (Dp * 2.0 ** -22) * qh_l2 * (1.0 if metric == "cosine" else maxd)
     qres_l2 = jnp.sqrt(jnp.sum(qres_f32 * qres_f32, axis=-1))
     q_scales = {"qh": qh_l2, "qres": qres_l2}
-    e_pos = prep["e_pos"] or None
-    q_err = tuple(q_scales[t] for t in q_tags) or None
+    eb_rows = tuple(prep["eb_rows"])
+    if eb_rows:
+        qe = jnp.pad(
+            jnp.stack([q_scales[t] for t in q_tags], axis=1),
+            ((0, 0), (0, 128 - len(eb_rows))),
+        )
+    else:
+        qe = None
     err = slack
     for t in err_tags:
         if t == "qres":
@@ -889,6 +892,17 @@ def _fused_t(
         # thresh == +inf: every window was rescanned — exact regardless of fill
         return jnp.where(kth_real, thresh - err >= kth_rank, jnp.isinf(thresh))
 
+    wm = _window_mins(
+        qh, qres, data_t, resid if use_resid else None, rscale_row,
+        scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
+        emit_block_mins=emit_bm, qe=qe, eb_rows=eb_rows,
+    )
+    wmin2_pre = None
+    if emit_bm:
+        wm, wm2raw = wm
+        wmin2_pre = wm2raw[:, 0, :].T                     # [B, nt] block mins
+    wmin, wmin_t = (None, wm) if transposed else (wm, None)
+
     # the rescan's tombstone mask (masked variant only; the unmasked path uses the
     # arithmetic rows < hw tail mask, so prep needs no maskadd array at all)
     maskadd = jnp.where(valid, 0.0, MASKED).astype(jnp.float32) if masked else None
@@ -897,7 +911,7 @@ def _fused_t(
         d, i, th = _select_and_rescan(
             q32, qn_row[:, None], rescan, maskadd, hw, wmin,
             k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
-            e_pos=e_pos, q_err=q_err, r2=r2, wmin_t=wmin_t, spec_l2=certify,
+            r2=r2, wmin_t=wmin_t, spec_l2=certify,
             wmin2=wmin2_pre,
         )
         return d, i, jnp.all(check_exact(d, th))
