@@ -709,7 +709,7 @@ def _cert_plan(*, certify, light, mixed, lossy_sweep, int8_sweep, use_resid,
 
 
 def _prep_terms(valid, sq_norms, hw, rscale, rscale2, sweep_err, err1, *,
-                cap, metric, masked, r1, g, int8_sweep, bf_sweep, use_resid,
+                cap, metric, masked, int8_sweep, bf_sweep, use_resid,
                 wb_sources):
     """All QUERY-INDEPENDENT search prep: bias/scale rows in sweep column order,
     the residual-correction multiplier row, the live-max norm, and the certificate's
@@ -767,7 +767,7 @@ def _prep_terms(valid, sq_norms, hw, rscale, rscale2, sweep_err, err1, *,
 
 _prep_terms_jit = jax.jit(
     _prep_terms,
-    static_argnames=("cap", "metric", "masked", "r1", "g", "int8_sweep", "bf_sweep",
+    static_argnames=("cap", "metric", "masked", "int8_sweep", "bf_sweep",
                      "use_resid", "wb_sources"),
 )
 
@@ -799,7 +799,7 @@ def _fused_t(
     if prep is None:
         prep = _prep_terms(
             valid, sq_norms, hw, rscale, rscale2, sweep_err, err1,
-            cap=cap, metric=metric, masked=masked, r1=r1, g=g,
+            cap=cap, metric=metric, masked=masked,
             int8_sweep=int8_sweep, bf_sweep=bf_sweep, use_resid=use_resid,
             wb_sources=wb_sources,
         )
@@ -1027,7 +1027,7 @@ def search_prep(
     variant's prep (tombstones / metadata filters): ``valid`` must then be the
     same (filter-ANDed) mask the search call will pass."""
     Dp, cap = data_t.shape
-    r1 = r1_override or _pick_r1(batch, cap, k)
+    del batch, r1_override  # prep is r1-independent since the in-kernel bound fold
     bf_sweep = data_t.dtype == jnp.bfloat16
     int8_sweep = data_t.dtype == jnp.int8
     lossy_sweep = bf_sweep or int8_sweep
@@ -1047,7 +1047,7 @@ def search_prep(
     return _prep_terms_jit(
         valid, sq_norms, jnp.int32(cap if masked else live_prefix),
         rscale, rscale2, sweep_err, err1,
-        cap=cap, metric=metric, masked=masked, r1=r1, g=R1MAX // r1,
+        cap=cap, metric=metric, masked=masked,
         int8_sweep=int8_sweep, bf_sweep=bf_sweep, use_resid=use_resid,
         wb_sources=wb_sources,
     )
@@ -1169,13 +1169,16 @@ def exact_knn_pallas_t(
         # one the cache is scoped to: the snapshot dict is scoped to the
         # snapshot's own liveness mask, and the engine passes a per-(filter,
         # version) dict for filtered searches (FilterMaskCache.prep_cache_for)
-        key = (metric, r1, -1 if live_prefix is None else int(live_prefix),
+        # NOTE: r1 is deliberately NOT in the key — prep is r1-independent since
+        # the in-kernel bound fold (eb_rows are per-ROW, not per-window), so all
+        # k-buckets of one (metric, config) share one prep dict entry.
+        key = (metric, -1 if live_prefix is None else int(live_prefix),
                masked, certify, light, use_resid, wb_sources, str(data_t.dtype))
         prep = prep_cache.get(key)
         if prep is None:
             prep = _prep_terms_jit(
                 valid, sq_norms, hw, rscale, rscale2, sweep_err, err1,
-                cap=cap, metric=metric, masked=masked, r1=r1, g=R1MAX // r1,
+                cap=cap, metric=metric, masked=masked,
                 int8_sweep=int8_sweep, bf_sweep=bf_sweep, use_resid=use_resid,
                 wb_sources=wb_sources,
             )
