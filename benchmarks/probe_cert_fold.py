@@ -36,8 +36,10 @@ def make_corpus():
     if CORPUS == "clustered":
         from benchmarks.datasets import synthesize_clustered
 
+        # the SIFT-1M-synthetic fallback's exact parameters (datasets.load_sift1m),
+        # so certified numbers here compare against the suite's rows
         syn = synthesize_clustered(
-            N, D, B, n_clusters=1000, within_scale=0.18, anisotropy=6.0
+            N, D, B, n_clusters=2000, within_scale=0.9, anisotropy=6.0
         )
         return syn["data"], syn["queries"][:B]
     rng = np.random.default_rng(42)
