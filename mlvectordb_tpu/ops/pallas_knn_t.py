@@ -212,8 +212,14 @@ def _phase1_precision(dtype):
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
+def _topm_sub_rows(m: int) -> int:
+    """Sublane rows of the top-m epilogue output block: m value rows + ceil(m/2)
+    packed-position rows, padded up to a multiple of 8 (Mosaic block rule)."""
+    return -(-(m + (m + 1) // 2) // 8) * 8
+
+
 def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
-                  n_eb: int = 0):
+                  n_eb: int = 0, n_top: int = 0):
     """rank = dots [+ resid correction] [* scale_row] + bias_row
     [- sum_t qe_t * eb_t], then grouped window-min over lane slices.
 
@@ -243,6 +249,19 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
     128-byte row gathers, the slowest gather class on this hardware (~3 GB/s,
     round-3 gather probe).  min_r (rank_r - qe*e_r) is also a TIGHTER bound than
     the old min_r rank_r - qe*max_r e_r, so tier-1 certifies strictly more often.
+
+    ``n_top``: emit the tile's n_top SMALLEST window-mins (values + positions)
+    in an epilogue — per-tile top-m candidates extracted by m rounds of
+    cross-lane min / argmin / mask (no sort network; Mosaic lowers iterated
+    mins).  The downstream selection then runs on an [B, nt*m] candidate pool
+    instead of the full window-min matrix, deleting the level-2 reduce, the
+    tile-row gather and the wide level-1 top_k.  SOUND under the certificate
+    only: a tile hiding more than m true candidates lowers the selection
+    floor (the min over tiles of each tile's m-th min folds into ``thresh``)
+    and the batch escalates a tier instead of returning a wrong set.  Output
+    block [1, SUB, q_tile]: rows 0..m-1 the values, rows m.. the positions
+    within the tile's out_w window-mins, packed two per f32 (p0 + out_w*p1 —
+    exact in f32 for out_w <= 1024), padding rows +inf.
     """
     r1 = R1MAX // g
 
@@ -287,6 +306,7 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
         for t in range(n_eb):
             ebr = (eb1_ref, eb2_ref)[t]
             rank = rank - qe_ref[:, t : t + 1] * ebr[:]
+        accs = []
         for a in range(g):
             acc = rank[:, (a * r1) * WLANE : (a * r1 + 1) * WLANE]
             for rr in range(1, r1):
@@ -296,7 +316,8 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
                 out_ref[0, :, a * WLANE : (a + 1) * WLANE] = acc
             else:
                 out_ref[:, a * WLANE : (a + 1) * WLANE] = acc
-            if out2:
+            accs.append(acc)
+            if out2 and not n_top:
                 # LEVEL-2 block-min epilogue (g=1 only: one 128-window block per
                 # tile): the cross-lane min lands on sublanes, so broadcast it
                 # across 8 sublanes to satisfy Mosaic's (8, 128)-divisible output
@@ -304,13 +325,51 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
                 # full re-read of the window-min matrix (~0.2-0.6 ms at DEEP).
                 out2[0][0] = jnp.broadcast_to(jnp.min(acc, axis=1)[None, :],
                                               out2[0].shape[1:])
+        if n_top:
+            # TOP-M candidate epilogue: m rounds of (cross-lane min over the
+            # tile's g*WLANE window-mins, position-of-min, mask-and-repeat).
+            # Positions are a*WLANE + lane within the tile's out_w output.
+            Bt = accs[0].shape[0]
+            out_w = g * WLANE
+            BIGP = jnp.int32(out_w)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (Bt, WLANE), 1)
+            work = list(accs)
+            vals, poss = [], []
+            for _ in range(n_top):
+                m1 = work[0].min(axis=1)
+                for a in range(1, g):
+                    m1 = jnp.minimum(m1, work[a].min(axis=1))
+                pos = jnp.full((Bt,), BIGP)
+                for a in range(g):
+                    pa = jnp.min(
+                        jnp.where(work[a] == m1[:, None], lanes + a * WLANE, BIGP),
+                        axis=1,
+                    )
+                    pos = jnp.minimum(pos, pa)
+                vals.append(m1)
+                poss.append(pos)
+                for a in range(g):
+                    work[a] = jnp.where(
+                        lanes + a * WLANE == pos[:, None], jnp.inf, work[a]
+                    )
+            rows = list(vals)
+            for t in range(0, n_top, 2):
+                p0 = poss[t]
+                p1 = poss[t + 1] if t + 1 < n_top else jnp.zeros_like(p0)
+                rows.append((p0 + out_w * p1).astype(jnp.float32))
+            SUB = out2[0].shape[1]
+            si = jax.lax.broadcasted_iota(jnp.int32, (SUB, Bt), 0)
+            packed = jnp.full((SUB, Bt), jnp.inf, jnp.float32)
+            for r, v in enumerate(rows):
+                packed = jnp.where(si == r, v[None, :], packed)
+            out2[0][0] = packed
 
     return kernel
 
 
 def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
                  q_tile, g, transposed=False, emit_block_mins=False,
-                 qe=None, eb_rows=()):
+                 emit_topm=0, qe=None, eb_rows=()):
     """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
     None), data_t [Dp, cap] sweep layout -> window-min positions
     [B, cap // (R1MAX//g)].  resid_t [Dp, cap] int8 + rscale_row [1, cap]: optional
@@ -340,6 +399,8 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
     resid_bytes = cap * (Dp + 4) if use_resid else 0
     if emit_block_mins and not (transposed and g == 1):
         raise ValueError("emit_block_mins requires the transposed g=1 layout")
+    if emit_topm and (emit_block_mins or not transposed):
+        raise ValueError("emit_topm requires the transposed layout (and no bm)")
     if transposed:
         out_shape = jax.ShapeDtypeStruct((nt, B, out_w), jnp.float32)
         out_specs = pl.BlockSpec(
@@ -355,13 +416,24 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
                 pl.BlockSpec((1, 8, q_tile), lambda di, qi: (di, 0, qi),
                              memory_space=pltpu.VMEM),
             ]
+        elif emit_topm:
+            # second output: per-tile top-m window-min candidates (values +
+            # packed positions; see _sweep_kernel n_top)
+            SUB = _topm_sub_rows(emit_topm)
+            out_shape = [out_shape, jax.ShapeDtypeStruct((nt, SUB, B), jnp.float32)]
+            out_specs = [
+                out_specs,
+                pl.BlockSpec((1, SUB, q_tile), lambda di, qi: (di, 0, qi),
+                             memory_space=pltpu.VMEM),
+            ]
     else:
         out_shape = jax.ShapeDtypeStruct((B, nt * out_w), jnp.float32)
         out_specs = pl.BlockSpec(
             (q_tile, out_w), lambda di, qi: (qi, di), memory_space=pltpu.VMEM
         )
     return pl.pallas_call(
-        _sweep_kernel(g, scale_row is not None, two_pass, use_resid, n_eb),
+        _sweep_kernel(g, scale_row is not None, two_pass, use_resid, n_eb,
+                      emit_topm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, Dp), lambda di, qi: (qi, 0), memory_space=pltpu.VMEM),
@@ -386,7 +458,8 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
             flops=2 * B * cap * Dp * ((2 if two_pass else 1) + (1 if use_resid else 0)),
             bytes_accessed=cap * Dp * data_t.dtype.itemsize + resid_bytes
             + n_eb * cap * 4
-            + B * nt * out_w * 4 + (nt * 8 * B * 4 if emit_block_mins else 0),
+            + B * nt * out_w * 4 + (nt * 8 * B * 4 if emit_block_mins else 0)
+            + (nt * _topm_sub_rows(emit_topm) * B * 4 if emit_topm else 0),
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
@@ -616,6 +689,17 @@ def _select_and_rescan(
         thresh = floor if s1 >= P else jnp.minimum(v1[:, -1], floor)
 
     f = _pos_to_window(p, g)                              # [B, s1] fine windows
+    best_d, best_i = _rescan_windows(
+        q32, qn_row, rescan, maskadd, hw, f, k=k, metric=metric, r1=r1,
+        masked=masked,
+    )
+    return best_d, best_i, thresh
+
+
+def _rescan_windows(q32, qn_row, rescan, maskadd, hw, f, *, k, metric, r1, masked):
+    """Exact HIGHEST-precision rescan of the selected fine windows ``f`` [B, s1]:
+    contiguous r1-row gathers + fused VPU scoring + final top-k."""
+    B, s1 = f.shape
     # ascending store order adds DMA locality to the rescan gather (sorted ids
     # measured +40% in the round-3 gather probe); the final top-k re-ranks, so
     # candidate order is free
@@ -623,32 +707,54 @@ def _select_and_rescan(
     cap, Dp = rescan.shape
     # contiguous window gather: one r1-row (r1*Dp*itemsize bytes) DMA per window
     dataw = rescan.reshape(cap // r1, r1 * Dp)
-    sub = (
-        dataw[f.reshape(-1)]
-        .reshape(B, s1 * r1, Dp)
-        .astype(jnp.float32)
-    )
-    rows = (f[:, :, None] * r1 + jnp.arange(r1, dtype=jnp.int32)).reshape(B, s1 * r1)
 
-    # VPU mul+reduce, NOT a batched dot_general: the per-query matvec is MXU-hostile
-    # ([B, s1*r1, D] x [B, D] forces an operand-layout transpose that XLA fuses into
-    # the gather — measured 3.2 ms vs 1.8 for the fused elementwise form at k=1000
-    # widths, probe_rescan_form), and the mul-reduce shares one pass over ``sub``
-    # with the norm reduction.  f32 tree-reduce accumulation error is within the
-    # certificate's Dp * 2^-22 slack.
-    dots = jnp.sum(sub * q32[:, None, :], axis=-1)        # [B, s1*r1]
-    sqn_c = jnp.sum(sub * sub, axis=-1)                   # norms from the rows
-    if metric == "l2":
-        dist = jnp.maximum(qn_row + sqn_c - 2.0 * dots, 0.0)
-    elif metric == "ip":
-        dist = 1.0 - dots
+    def _score(fc):
+        """Gather + exact-score one candidate-window chunk [B, sc] -> dist, rows."""
+        sc = fc.shape[1]
+        sub = dataw[fc.reshape(-1)].reshape(B, sc * r1, Dp).astype(jnp.float32)
+        rws = (fc[:, :, None] * r1 + jnp.arange(r1, dtype=jnp.int32)).reshape(B, sc * r1)
+        # VPU mul+reduce, NOT a batched dot_general: the per-query matvec is
+        # MXU-hostile ([B, s*r1, D] x [B, D] forces an operand-layout transpose
+        # that XLA fuses into the gather — measured 3.2 ms vs 1.8 for the fused
+        # elementwise form at k=1000 widths, probe_rescan_form), and the
+        # mul-reduce shares one pass over ``sub`` with the norm reduction.  f32
+        # tree-reduce accumulation error is within the certificate's Dp * 2^-22
+        # slack.
+        dots = jnp.sum(sub * q32[:, None, :], axis=-1)    # [B, sc*r1]
+        sqn_c = jnp.sum(sub * sub, axis=-1)               # norms from the rows
+        if metric == "l2":
+            dd = jnp.maximum(qn_row + sqn_c - 2.0 * dots, 0.0)
+        elif metric == "ip":
+            dd = 1.0 - dots
+        else:
+            denom = jax.lax.rsqrt(jnp.maximum(qn_row * sqn_c, 1e-30))
+            dd = 1.0 - dots * denom
+        if masked:
+            dd = dd + maskadd[rws]
+        else:
+            dd = jnp.where(rws < hw, dd, MASKED)          # arithmetic tail mask
+        return dd, rws
+
+    # wide rescans score in chunks (lax.map) to bound the live gathered-sub
+    # buffer: the monolithic form keeps B*s1*r1*Dp*4 bytes (~266 MB at k=1000)
+    # live across the whole gather+score, and XLA schedules it ~1.6 ms slower
+    # than 8 sequential chunks (probe_insitu R5 vs P0) — chunking costs nothing
+    # on exactness (same rows, same arithmetic).  s1 pads to a chunkable width;
+    # pad slots repeat window 0 and are masked to MASKED below so duplicates
+    # can never enter the top-k.
+    if s1 * r1 >= 2048:
+        nch = 8
+        s1p = -(-s1 // nch) * nch
+        fpad = jnp.pad(f, ((0, 0), (0, s1p - s1)))
+        fch = fpad.reshape(B, nch, s1p // nch).transpose(1, 0, 2)
+        dist_c, rows_c = jax.lax.map(_score, fch)         # [nch, B, (s1p/nch)*r1]
+        dist = dist_c.transpose(1, 0, 2).reshape(B, s1p * r1)
+        rows = rows_c.transpose(1, 0, 2).reshape(B, s1p * r1)
+        if s1p != s1:
+            pad_slot = jnp.arange(s1p * r1, dtype=jnp.int32) >= s1 * r1
+            dist = jnp.where(pad_slot[None, :], MASKED, dist)
     else:
-        denom = jax.lax.rsqrt(jnp.maximum(qn_row * sqn_c, 1e-30))
-        dist = 1.0 - dots * denom
-    if masked:
-        dist = dist + maskadd[rows]
-    else:
-        dist = jnp.where(rows < hw, dist, MASKED)         # arithmetic tail mask
+        dist, rows = _score(f)
 
     kk = min(k, dist.shape[1])
     best_d, pk = _topk_min(dist, kk)
@@ -656,6 +762,50 @@ def _select_and_rescan(
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=float(MASKED))
         best_i = jnp.pad(best_i, ((0, 0), (0, k - kk)))
+    return best_d, best_i
+
+
+def _select_topm_and_rescan(
+    q32, qn_row, rescan, maskadd, hw, topm, *, k, metric, r1, masked, s_sel, m,
+):
+    """Selection from the sweep kernel's per-tile top-m candidate pool
+    (_sweep_kernel n_top) + the shared exact rescan.
+
+    The pool holds each tile's m smallest optimistic window-mins with their
+    positions; selection is ONE narrow top-s over [B, nt*m] — no level-2
+    reduce, no tile-row gather, no wide level-1 top_k.  Soundness (certified
+    callers only): a window never rescanned is either (a) in the pool but not
+    selected — >= the s-th selected value — or (b) outside its tile's top-m —
+    >= that tile's m-th min >= the pool floor; both fold into ``thresh``, so
+    a tile hiding more than m true candidates escalates the certificate
+    instead of corrupting the result."""
+    nt, SUB, B = topm.shape
+    g = R1MAX // r1
+    out_w = g * WLANE
+    pool = nt * m
+    tm = topm.transpose(2, 0, 1)                          # [B, nt, SUB]
+    vals = tm[:, :, :m].reshape(B, pool)
+    npack = (m + 1) // 2
+    pk = tm[:, :, m : m + npack].astype(jnp.int32)        # exact: < out_w^2 <= 2^20
+    pos2 = jnp.stack([pk % out_w, pk // out_w], axis=-1)  # [B, nt, npack, 2]
+    pos_in_tile = pos2.reshape(B, nt, 2 * npack)[:, :, :m]
+    win = (
+        jnp.arange(nt, dtype=jnp.int32)[None, :, None] * out_w + pos_in_tile
+    ).reshape(B, pool)                                    # output positions
+    s1 = min(s_sel, pool)
+    tile_floor = jnp.min(vals.reshape(B, nt, m)[:, :, m - 1], axis=1)  # [B]
+    if s1 >= SORT_TOPK_FROM:
+        sv, sw = jax.lax.sort((vals, win), dimension=-1, num_keys=1)
+        v1, p = sv[:, :s1], sw[:, :s1]
+    else:
+        v1, ci = _topk_min(vals, s1)
+        p = jnp.take_along_axis(win, ci, axis=1)
+    thresh = tile_floor if s1 >= pool else jnp.minimum(v1[:, -1], tile_floor)
+    f = _pos_to_window(p, g)
+    best_d, best_i = _rescan_windows(
+        q32, qn_row, rescan, maskadd, hw, f, k=k, metric=metric, r1=r1,
+        masked=masked,
+    )
     return best_d, best_i, thresh
 
 
@@ -836,12 +986,45 @@ def _fused_t(
     # instead of strided out_w-chunk rows (the strided form costs ~0.9 ms of
     # sweep bandwidth at DEEP shape); the tile-row gather slices any r2 | out_w.
     P_all = cap // r1
-    transposed = k <= 128 and P_all % WLANE == 0 and P_all // WLANE > 1
+
+    # tier-1 selection width (also gates the top-m pool): the margin above k
+    # must scale with k because window-min quantile spacing tightens deeper
+    # into the distance distribution.  With per-window optimistic-bound
+    # selection, uncertain windows are pulled into the rescan by construction,
+    # so the certified width carries no global error allowance — except the
+    # worst-case-band plans, which widen.
+    if not certify:
+        s1_w = min(2 * k, k + 16)
+    elif any(isinstance(t, tuple) for t in err_tags):
+        s1_w = max(64, 2 * k + 48)  # worst-case global band: widen tier-1
+    else:
+        s1_w = min(2 * k, k + 16 + k // 8)
+    s1_w = min(s1_w, P_all)
+
+    # per-tile top-m candidate epilogue (certified only: its floor needs the
+    # escalation path).  m scales with k so the per-tile pool covers the
+    # selection width with slack — the floor only fails when one tile hides
+    # MORE than m of the windows at or above the k-th found rank, whose
+    # probability falls hyper-geometrically in m.  The packed-position encode
+    # needs out_w^2 <= 2^24 (f32-exact integers).
+    m_top = 8 if k <= 128 else 16
+    nt_all = cap // SWEEP_TILE
+    out_w_all = g * WLANE
+    use_topm = (
+        certify
+        and P_all % WLANE == 0
+        and nt_all > 1
+        and nt_all * m_top >= s1_w
+        and out_w_all * out_w_all <= (1 << 24)
+    )
+    transposed = (k <= 128 or use_topm) and P_all % WLANE == 0 and P_all // WLANE > 1
+    use_topm = use_topm and transposed
     r2 = WLANE if (transposed and k <= 32) else R2
     # g=1 + 128-wide blocks: the sweep kernel emits the level-2 block mins in an
     # epilogue (4 KB/tile store), replacing the XLA reduce's full re-read of the
-    # window-min matrix (~0.2-0.6 ms at DEEP shape)
-    emit_bm = transposed and r2 == WLANE and g == 1
+    # window-min matrix (~0.2-0.6 ms at DEEP shape).  The top-m epilogue
+    # supersedes it on certified programs.
+    emit_bm = transposed and r2 == WLANE and g == 1 and not use_topm
 
     # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
     # bound when phase 1 ranks on rounded inputs).  The sweep kernel emits
@@ -895,42 +1078,41 @@ def _fused_t(
     wm = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
         scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
-        emit_block_mins=emit_bm, qe=qe, eb_rows=eb_rows,
+        emit_block_mins=emit_bm, emit_topm=m_top if use_topm else 0,
+        qe=qe, eb_rows=eb_rows,
     )
     wmin2_pre = None
+    topm = None
     if emit_bm:
         wm, wm2raw = wm
         wmin2_pre = wm2raw[:, 0, :].T                     # [B, nt] block mins
+    elif use_topm:
+        wm, topm = wm                                     # [nt, SUB, B] candidates
     wmin, wmin_t = (None, wm) if transposed else (wm, None)
 
     # the rescan's tombstone mask (masked variant only; the unmasked path uses the
     # arithmetic rows < hw tail mask, so prep needs no maskadd array at all)
     maskadd = jnp.where(valid, 0.0, MASKED).astype(jnp.float32) if masked else None
 
-    def tier(s_sel):
-        d, i, th = _select_and_rescan(
-            q32, qn_row[:, None], rescan, maskadd, hw, wmin,
-            k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
-            r2=r2, wmin_t=wmin_t, spec_l2=certify,
-            wmin2=wmin2_pre,
-        )
+    def tier(s_sel, from_topm=False):
+        if from_topm:
+            # tier 1 on the kernel's per-tile candidate pool: a tile hiding
+            # more than m candidates lowers thresh (pool floor) -> escalation
+            d, i, th = _select_topm_and_rescan(
+                q32, qn_row[:, None], rescan, maskadd, hw, topm,
+                k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel, m=m_top,
+            )
+        else:
+            d, i, th = _select_and_rescan(
+                q32, qn_row[:, None], rescan, maskadd, hw, wmin,
+                k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
+                r2=r2, wmin_t=wmin_t, spec_l2=certify,
+                wmin2=wmin2_pre,
+            )
         return d, i, jnp.all(check_exact(d, th))
 
-    # tier-1 width: the margin above k must scale with k because window-min quantile
-    # spacing tightens deeper into the distance distribution (~0.03 rank units per
-    # window at k~100, N=1M gaussian).  With the per-window optimistic-bound
-    # selection, uncertain windows are pulled into the rescan by construction, so
-    # the certified width no longer carries a global error allowance.
-    if not certify:
-        # margin mode returns tier-1 unconditionally: no point paying the certified
-        # widths — the round-2 empirical margin is the contract here
-        s1 = min(2 * k, k + 16)
-    elif any(isinstance(t, tuple) for t in err_tags):
-        s1 = max(64, 2 * k + 48)  # worst-case global band: widen tier-1
-    else:
-        s1 = min(2 * k, k + 16 + k // 8)
-
-    d1, i1, ok1 = tier(s1)
+    s1 = s1_w
+    d1, i1, ok1 = tier(s1, from_topm=use_topm)
     if not certify:
         # margin-based mode (EngineConfig.certify_exact=False): return the fast tier
         # unconditionally.  Exactness then rests on the empirical selection margin +

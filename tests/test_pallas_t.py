@@ -586,3 +586,94 @@ def test_search_prep_matches_inline_and_cache(rng):
         d1, i1 = run(q, dbt, db, valid, sq, err2, resid, rscale, err1, *leaves)
         np.testing.assert_array_equal(np.sort(np.asarray(i0)), np.sort(np.asarray(i1)))
         np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=0, atol=0)
+
+
+def test_topm_pool_tier_matches_oracle(rng):
+    """Per-tile top-m candidate epilogue (engages when nt*m covers the tier-1
+    width): certified search on benign data serves from tier 0 via the kernel's
+    candidate pool and matches the f32 oracle set-exactly — masked and unmasked."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    n = 8 * DB_TILE  # nt=8 -> pool 32 >= certified k=10 width (20)
+    db, sq = _mk(rng, n=n)
+    q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
+    dbt = to_sweep_layout(db, dtype=jnp.bfloat16)
+    se = sweep_err_norms(db)
+
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx, tier = exact_knn_pallas_t(
+        q, dbt, db, valid, sq, k=10, metric="l2", live_prefix=n,
+        sweep_err=se, report_tier=True,
+    )
+    assert int(tier) == 0  # the pool tier itself served (no escalation)
+    da, ia = exact_knn(q, db, valid, sq, k=10, metric="l2", db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-5, atol=1e-5
+    )
+
+    # masked variant: tombstone the best hit of query 0
+    vm = np.ones(n, bool)
+    vm[int(np.asarray(ia)[0, 0])] = False
+    dpm, ipm = exact_knn_pallas_t(
+        q, dbt, db, jnp.asarray(vm), sq, k=10, metric="l2", live_prefix=None,
+        sweep_err=se,
+    )
+    dam, iam = exact_knn(q, db, jnp.asarray(vm), sq, k=10, metric="l2", db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipm)[b].tolist()) == set(np.asarray(iam)[b].tolist())
+
+
+def test_topm_pool_overflow_escalates_not_corrupts(rng):
+    """More strong candidate WINDOWS packed into one sweep tile than the pool's m:
+    the per-tile pool hides some of them, the selection floor (min over tiles of
+    each tile's m-th min) drops below the k-th found distance, and the certificate
+    must escalate — never return a corrupted set."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    n = 8 * DB_TILE
+    k, r1 = 32, 16  # k=32 -> m=8 pool rows per tile; r1=16 windows
+    db_np = rng.standard_normal((n, D)).astype(np.float32) * 4.0  # far background
+    qv = rng.standard_normal((D,)).astype(np.float32)
+    # 20 planted near-neighbours at stride r1 inside tile 0 -> 20 hot windows in
+    # ONE tile; the pool surfaces only its 8 best
+    for j in range(20):
+        db_np[j * r1] = qv + rng.standard_normal(D).astype(np.float32) * 0.01
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q = jnp.asarray(np.broadcast_to(qv, (8, D)).copy())
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx, tier = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=k, metric="l2", live_prefix=n, sweep_err=sweep_err_norms(db),
+        report_tier=True,
+    )
+    assert int(tier) >= 1, "hidden-window overflow must escalate the certificate"
+    da, ia = exact_knn(q, db, valid, sq, k=k, metric="l2", db_tile=DB_TILE)
+    for b in range(8):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+
+
+def test_topm_large_k_pool_matches_oracle(rng):
+    """m=16 pool at k>128 (the k=1000-class structure, scaled to test size):
+    certified tier-0 service from the pool, oracle set-equality."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    n = 64 * DB_TILE
+    k = 160  # -> m=16, r1=8, nt=64, pool=1024 >= width 196
+    db, sq = _mk(rng, n=n)
+    q = jnp.asarray(rng.standard_normal((4, D), dtype=np.float32))
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx, tier = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=k, metric="l2", live_prefix=n, sweep_err=sweep_err_norms(db),
+        report_tier=True,
+    )
+    assert int(tier) == 0
+    da, ia = exact_knn(q, db, valid, sq, k=k, metric="l2", db_tile=DB_TILE)
+    for b in range(4):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
+    )
