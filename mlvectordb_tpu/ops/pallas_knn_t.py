@@ -508,6 +508,14 @@ import os as _os
 
 SORT_TOPK_FROM = int(_os.environ.get("MLVDB_SORT_TOPK_FROM", "257"))
 
+# top-m candidate-pool selection (see _sweep_kernel n_top); trace-time gate so
+# perf probes can A/B pool vs window-min selection within one process
+TOPM_ENABLE = _os.environ.get("MLVDB_TOPM", "1") != "0"
+
+# rescan width (s1*r1 candidate rows) at or above which the gather+score runs in
+# lax.map chunks instead of one monolithic pass (see _rescan_windows); trace-time
+RESCAN_CHUNK_FROM = int(_os.environ.get("MLVDB_RESCAN_CHUNK_FROM", "2048"))
+
 
 def _topk_min(x, kk: int):
     """Smallest-kk (values, positions): top_k for small kk, pair-sort for large."""
@@ -742,7 +750,7 @@ def _rescan_windows(q32, qn_row, rescan, maskadd, hw, f, *, k, metric, r1, maske
     # on exactness (same rows, same arithmetic).  s1 pads to a chunkable width;
     # pad slots repeat window 0 and are masked to MASKED below so duplicates
     # can never enter the top-k.
-    if s1 * r1 >= 2048:
+    if s1 * r1 >= RESCAN_CHUNK_FROM:
         nch = 8
         s1p = -(-s1 // nch) * nch
         fpad = jnp.pad(f, ((0, 0), (0, s1p - s1)))
@@ -1003,18 +1011,27 @@ def _fused_t(
 
     # per-tile top-m candidate epilogue (certified only: its floor needs the
     # escalation path).  m scales with k so the per-tile pool covers the
-    # selection width with slack — the floor only fails when one tile hides
-    # MORE than m of the windows at or above the k-th found rank, whose
-    # probability falls hyper-geometrically in m.  The packed-position encode
-    # needs out_w^2 <= 2^24 (f32-exact integers).
+    # selection width with slack — the floor fails when one tile holds MORE
+    # than m of the windows at or above the k-th found rank.  Selected windows
+    # land ~Poisson(s1_w/nt) per tile, so the gate requires m >= 4x that mean:
+    # measured on gaussian, 2x slack escalates (k=100 @ nt=32, k=1000 @ nt=128
+    # flip tier-1) while 4x certifies tier-0.  The packed-position encode needs
+    # out_w^2 <= 2^24 (f32-exact integers).
     m_top = 8 if k <= 128 else 16
     nt_all = cap // SWEEP_TILE
     out_w_all = g * WLANE
+    # block-min-eligible configs (k<=16: r1=32 -> g=1, r2=WLANE) keep the wmin
+    # selection + in-kernel level-2 epilogue — measured faster than the pool
+    # there (probe_topm k=10: wmin 1.48 ms vs pool 1.61 same-process); the pool
+    # wins the mid-k band (k=100: 2.19 vs 2.34 ms)
+    bm_eligible = k <= 32 and r1 == R1MAX and P_all % WLANE == 0 and P_all // WLANE > 1
     use_topm = (
         certify
+        and TOPM_ENABLE
+        and not bm_eligible
         and P_all % WLANE == 0
         and nt_all > 1
-        and nt_all * m_top >= s1_w
+        and nt_all * m_top >= 4 * s1_w
         and out_w_all * out_w_all <= (1 << 24)
     )
     transposed = (k <= 128 or use_topm) and P_all % WLANE == 0 and P_all // WLANE > 1

@@ -594,7 +594,10 @@ def test_topm_pool_tier_matches_oracle(rng):
     candidate pool and matches the f32 oracle set-exactly — masked and unmasked."""
     from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
 
-    n = 8 * DB_TILE  # nt=8 -> pool 32 >= certified k=10 width (20)
+    # k=32 -> m=8 pool rows/tile, width s1=52; nt=32 satisfies the 4x slack gate
+    # (pool 256 >= 4*52) and k>16 skips the block-min-eligible configs the pool
+    # cedes to the wmin selection
+    n, k = 32 * DB_TILE, 32
     db, sq = _mk(rng, n=n)
     q = jnp.asarray(rng.standard_normal((8, D), dtype=np.float32))
     dbt = to_sweep_layout(db, dtype=jnp.bfloat16)
@@ -602,11 +605,11 @@ def test_topm_pool_tier_matches_oracle(rng):
 
     valid = jnp.ones((n,), jnp.bool_)
     dp, ipx, tier = exact_knn_pallas_t(
-        q, dbt, db, valid, sq, k=10, metric="l2", live_prefix=n,
+        q, dbt, db, valid, sq, k=k, metric="l2", live_prefix=n,
         sweep_err=se, report_tier=True,
     )
     assert int(tier) == 0  # the pool tier itself served (no escalation)
-    da, ia = exact_knn(q, db, valid, sq, k=10, metric="l2", db_tile=DB_TILE)
+    da, ia = exact_knn(q, db, valid, sq, k=k, metric="l2", db_tile=DB_TILE)
     for b in range(8):
         assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist())
     np.testing.assert_allclose(
@@ -617,10 +620,10 @@ def test_topm_pool_tier_matches_oracle(rng):
     vm = np.ones(n, bool)
     vm[int(np.asarray(ia)[0, 0])] = False
     dpm, ipm = exact_knn_pallas_t(
-        q, dbt, db, jnp.asarray(vm), sq, k=10, metric="l2", live_prefix=None,
+        q, dbt, db, jnp.asarray(vm), sq, k=k, metric="l2", live_prefix=None,
         sweep_err=se,
     )
-    dam, iam = exact_knn(q, db, jnp.asarray(vm), sq, k=10, metric="l2", db_tile=DB_TILE)
+    dam, iam = exact_knn(q, db, jnp.asarray(vm), sq, k=k, metric="l2", db_tile=DB_TILE)
     for b in range(8):
         assert set(np.asarray(ipm)[b].tolist()) == set(np.asarray(iam)[b].tolist())
 
@@ -632,8 +635,9 @@ def test_topm_pool_overflow_escalates_not_corrupts(rng):
     must escalate — never return a corrupted set."""
     from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
 
-    n = 8 * DB_TILE
-    k, r1 = 32, 16  # k=32 -> m=8 pool rows per tile; r1=16 windows
+    # k=32 -> m=8 pool rows/tile, width 52; nt=32 passes the 4x slack gate
+    n = 32 * DB_TILE
+    k, r1 = 32, 16  # r1=16 windows at k=32
     db_np = rng.standard_normal((n, D)).astype(np.float32) * 4.0  # far background
     qv = rng.standard_normal((D,)).astype(np.float32)
     # 20 planted near-neighbours at stride r1 inside tile 0 -> 20 hot windows in
