@@ -261,7 +261,12 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
     and the batch escalates a tier instead of returning a wrong set.  Output
     block [1, SUB, q_tile]: rows 0..m-1 the values, rows m.. the positions
     within the tile's out_w window-mins, packed two per f32 (p0 + out_w*p1 —
-    exact in f32 for out_w <= 1024), padding rows +inf.
+    exact in f32 while out_w^2 <= 2^24, i.e. out_w <= 4096, matching the
+    use_topm gate), padding rows +inf.  NaN inputs (NaN query or data row)
+    match no lane in the float-equality argmin, so pos stays at the BIGP
+    sentinel (= out_w) and the packed value decodes to an out-of-range window
+    the rescan gather clamps; exactness still holds because a NaN kth
+    distance fails check_exact and the batch escalates.
     """
     r1 = R1MAX // g
 
@@ -600,7 +605,7 @@ def _select_and_rescan(
     and get rescanned exactly, and ``thresh`` is directly the optimistic-bound
     floor the proof compares against."""
     if wmin_t is not None:
-        # tile-major transposed window mins [nt, B, out_w] (r2 == WLANE only):
+        # tile-major transposed window mins [nt, B, out_w] (any r2 dividing out_w):
         # block blk = t*g + a covers lanes [a*WLANE, (a+1)*WLANE) of tile t, i.e.
         # window positions [blk*WLANE, (blk+1)*WLANE) — identical block indexing to
         # the [B, P] reshape, so every position/threshold formula below is shared.
@@ -1281,7 +1286,8 @@ def exact_knn_pallas_t(
     query-independent prep — bias/scale rows in sweep order, per-window error
     bounds, maxd — costs ~1.2 ms/call at DEEP shape when traced inline
     (benchmarks/probe_qprep.py); with a cache it is computed once per published
-    snapshot per (metric, r1, plan) and fed to the fused program as inputs.
+    snapshot per (metric, plan) — r1-independent since the in-kernel bound
+    fold — and fed to the fused program as inputs.
     The cache never populates under an outer trace (values would be tracers);
     traced callers who still want the cached-prep program — e.g. a timing
     harness measuring what eager serving dispatches — pass ``prep`` (a dict
