@@ -11,6 +11,15 @@ Mechanics: callers enqueue (query, k, namespace, metric, filter) and block on a 
 event.  A collector thread drains the queue, groups by (namespace, metric, k-bucket,
 filter-key) — queries in one group share a single find_similar_batch call — and fans
 results back out.  max_wait_us bounds added latency; max_batch bounds kernel batch width.
+
+Execution is DECOUPLED from collection: groups run on a small worker pool
+(exec_concurrency in flight) so the collector goes straight back to draining the
+queue while a batch executes.  The round-4 load test measured 29.5 ms average
+queue wait at 64 clients against a 0.5 ms max_wait_us — head-of-line blocking:
+the single collector thread executed each batch inline (~58 ms through the
+relay) while new arrivals sat uncollected.  When all workers are busy the
+collector blocks BEFORE forming the next batch, so arrivals coalesce into
+larger batches instead of growing an unbounded execution backlog.
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence
 
 from ..config import canonical_metric
@@ -49,6 +59,7 @@ class MicroBatcher:
         query_processor,
         max_wait_us: int = 500,
         max_batch: int = 512,
+        exec_concurrency: int = 4,
     ):
         self.qp = query_processor
         self.max_wait_s = max_wait_us / 1e6
@@ -59,6 +70,14 @@ class MicroBatcher:
         self.queries_executed = 0
         self.total_wait_ms = 0.0   # enqueue -> group dispatch, summed over queries
         self.total_exec_ms = 0.0   # find_similar_batch wall, summed over batches
+        self._stats_lock = threading.Lock()
+        # bounded execution overlap: snapshot reads are RCU-safe concurrently, and
+        # overlapping dispatches pipelines the host<->device round trips that
+        # dominate per-batch wall time on relay-attached devices
+        self._inflight = threading.Semaphore(max(1, exec_concurrency))
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, exec_concurrency), thread_name_prefix="microbatch-exec"
+        )
         self._thread = threading.Thread(target=self._collector, daemon=True, name="microbatcher")
         self._thread.start()
 
@@ -86,6 +105,7 @@ class MicroBatcher:
     def close(self) -> None:
         self._shutdown = True
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True, cancel_futures=False)
 
     # ------------------------------------------------------------------ collector
 
@@ -115,12 +135,22 @@ class MicroBatcher:
             for it in batch:
                 groups.setdefault(self._group_key(it), []).append(it)
             for items in groups.values():
-                self._run_group(items)
+                # blocks only when every worker is busy — arrivals then pile up
+                # in the queue and form LARGER batches, instead of the collector
+                # itself becoming the head-of-line bottleneck
+                self._inflight.acquire()
+                self._pool.submit(self._exec_group, items)
+
+    def _exec_group(self, items: Sequence[_Pending]) -> None:
+        try:
+            self._run_group(items)
+        finally:
+            self._inflight.release()
 
     def _run_group(self, items: Sequence[_Pending]) -> None:
         try:
             t0 = time.perf_counter()
-            self.total_wait_ms += sum((t0 - it.enqueued) * 1e3 for it in items)
+            wait_ms = sum((t0 - it.enqueued) * 1e3 for it in items)
             k = max(it.top_k for it in items)
             results = self.qp.find_similar_batch(
                 [it.query for it in items],
@@ -129,9 +159,12 @@ class MicroBatcher:
                 metric=items[0].metric,
                 filter=items[0].filter,
             )
-            self.total_exec_ms += (time.perf_counter() - t0) * 1e3
-            self.batches_executed += 1
-            self.queries_executed += len(items)
+            exec_ms = (time.perf_counter() - t0) * 1e3
+            with self._stats_lock:
+                self.total_wait_ms += wait_ms
+                self.total_exec_ms += exec_ms
+                self.batches_executed += 1
+                self.queries_executed += len(items)
             for it, res in zip(items, results):
                 it.result = res[: it.top_k]
                 it.event.set()

@@ -90,6 +90,55 @@ def test_error_fans_out_not_hangs(qp):
         mb.close()
 
 
+def test_groups_execute_overlapped_not_head_of_line(rng):
+    """Collection is decoupled from execution: four groups whose batches each
+    take ~80 ms must run overlapped on the worker pool (wall << serial sum) and
+    queue wait must stay near max_wait, not inherit prior batches' execution
+    time (the round-4 load test's 29.5 ms head-of-line regression)."""
+    import time as _time
+
+    class SlowQP:
+        class config:  # duck-typed: the batcher reads bucket_k + default_metric
+            default_metric = "l2"
+
+            @staticmethod
+            def bucket_k(k):
+                return k
+
+        def find_similar_batch(self, queries, top_k, namespace, metric, filter):
+            _time.sleep(0.08)
+            return [[{"id": f"{namespace}-{j}", "score": 0.0}] * top_k
+                    for j, _ in enumerate(queries)]
+
+    mb = MicroBatcher(SlowQP(), max_wait_us=1000, exec_concurrency=4)
+    try:
+        results = {}
+
+        def worker(ns):
+            results[ns] = mb.find_similar(
+                VectorDTO(rng.standard_normal(8).astype(np.float32)),
+                top_k=2, namespace=ns, metric="l2",
+            )
+
+        t0 = _time.perf_counter()
+        threads = [threading.Thread(target=worker, args=(f"ns{i}",)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        wall = _time.perf_counter() - t0
+
+        assert len(results) == 4
+        # serial head-of-line execution would take >= 4 * 80 ms = 320 ms
+        assert wall < 0.25, f"groups did not overlap: wall={wall:.3f}s"
+        st = mb.stats()
+        assert st["batches_executed"] == 4
+        # queue wait is enqueue->dispatch; it must not absorb execution time
+        assert st["avg_queue_wait_ms"] < 60.0
+    finally:
+        mb.close()
+
+
 def test_rest_auto_batch_mode(small_config, rng):
     async def runner():
         qp = QueryProcessor(config=small_config)
