@@ -219,7 +219,7 @@ def _topm_sub_rows(m: int) -> int:
 
 
 def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
-                  n_eb: int = 0, n_top: int = 0):
+                  n_eb: int = 0, n_top: int = 0, skip_wm: bool = False):
     """rank = dots [+ resid correction] [* scale_row] + bias_row
     [- sum_t qe_t * eb_t], then grouped window-min over lane slices.
 
@@ -267,6 +267,13 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
     sentinel (= out_w) and the packed value decodes to an out-of-range window
     the rescan gather clamps; exactness still holds because a NaN kth
     distance fails check_exact and the batch escalates.
+
+    ``skip_wm``: do not emit the window-min matrix at all — the top-m pool is
+    the ONLY output.  Used when the pool serves tier 1 and the width gate has
+    already ruled tier 2 out (escalation goes straight to the exact scan), so
+    the [nt, B, out_w] matrix would be written (134 MB at 1M/r1=4) and never
+    read; skipping it saves the write bandwidth AND removes the large live
+    buffer XLA otherwise schedules the rescan gather under.
     """
     r1 = R1MAX // g
 
@@ -311,13 +318,16 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
         for t in range(n_eb):
             ebr = (eb1_ref, eb2_ref)[t]
             rank = rank - qe_ref[:, t : t + 1] * ebr[:]
+        topm_ref = out_ref if skip_wm else (out2[0] if out2 else None)
         accs = []
         for a in range(g):
             acc = rank[:, (a * r1) * WLANE : (a * r1 + 1) * WLANE]
             for rr in range(1, r1):
                 r = a * r1 + rr
                 acc = jnp.minimum(acc, rank[:, r * WLANE : (r + 1) * WLANE])
-            if out_ref.ndim == 3:  # transposed [1, Bt, out_w] block (tile-major)
+            if skip_wm:
+                pass                                      # pool is the only output
+            elif out_ref.ndim == 3:  # transposed [1, Bt, out_w] block (tile-major)
                 out_ref[0, :, a * WLANE : (a + 1) * WLANE] = acc
             else:
                 out_ref[:, a * WLANE : (a + 1) * WLANE] = acc
@@ -362,19 +372,19 @@ def _sweep_kernel(g: int, use_scale: bool, two_pass: bool, use_resid: bool,
                 p0 = poss[t]
                 p1 = poss[t + 1] if t + 1 < n_top else jnp.zeros_like(p0)
                 rows.append((p0 + out_w * p1).astype(jnp.float32))
-            SUB = out2[0].shape[1]
+            SUB = topm_ref.shape[1]
             si = jax.lax.broadcasted_iota(jnp.int32, (SUB, Bt), 0)
             packed = jnp.full((SUB, Bt), jnp.inf, jnp.float32)
             for r, v in enumerate(rows):
                 packed = jnp.where(si == r, v[None, :], packed)
-            out2[0][0] = packed
+            topm_ref[0] = packed
 
     return kernel
 
 
 def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
                  q_tile, g, transposed=False, emit_block_mins=False,
-                 emit_topm=0, qe=None, eb_rows=()):
+                 emit_topm=0, skip_wm=False, qe=None, eb_rows=()):
     """qh/qres [B, Dp] (metric factor pre-folded; qres = compensation residual or
     None), data_t [Dp, cap] sweep layout -> window-min positions
     [B, cap // (R1MAX//g)].  resid_t [Dp, cap] int8 + rscale_row [1, cap]: optional
@@ -406,7 +416,16 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
         raise ValueError("emit_block_mins requires the transposed g=1 layout")
     if emit_topm and (emit_block_mins or not transposed):
         raise ValueError("emit_topm requires the transposed layout (and no bm)")
-    if transposed:
+    if skip_wm and not emit_topm:
+        raise ValueError("skip_wm needs the top-m pool as the remaining output")
+    if skip_wm:
+        # pool-only emission: the window-min matrix is never materialized
+        SUB = _topm_sub_rows(emit_topm)
+        out_shape = jax.ShapeDtypeStruct((nt, SUB, B), jnp.float32)
+        out_specs = pl.BlockSpec(
+            (1, SUB, q_tile), lambda di, qi: (di, 0, qi), memory_space=pltpu.VMEM
+        )
+    elif transposed:
         out_shape = jax.ShapeDtypeStruct((nt, B, out_w), jnp.float32)
         out_specs = pl.BlockSpec(
             (1, q_tile, out_w), lambda di, qi: (di, qi, 0), memory_space=pltpu.VMEM
@@ -438,7 +457,7 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
         )
     return pl.pallas_call(
         _sweep_kernel(g, scale_row is not None, two_pass, use_resid, n_eb,
-                      emit_topm),
+                      emit_topm, skip_wm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, Dp), lambda di, qi: (qi, 0), memory_space=pltpu.VMEM),
@@ -463,7 +482,8 @@ def _window_mins(qh, qres, data_t, resid_t, rscale_row, scale_row, bias_row, *,
             flops=2 * B * cap * Dp * ((2 if two_pass else 1) + (1 if use_resid else 0)),
             bytes_accessed=cap * Dp * data_t.dtype.itemsize + resid_bytes
             + n_eb * cap * 4
-            + B * nt * out_w * 4 + (nt * 8 * B * 4 if emit_block_mins else 0)
+            + (0 if skip_wm else B * nt * out_w * 4)
+            + (nt * 8 * B * 4 if emit_block_mins else 0)
             + (nt * _topm_sub_rows(emit_topm) * B * 4 if emit_topm else 0),
             transcendentals=0,
         ),
@@ -799,7 +819,7 @@ def _select_topm_and_rescan(
     tm = topm.transpose(2, 0, 1)                          # [B, nt, SUB]
     vals = tm[:, :, :m].reshape(B, pool)
     npack = (m + 1) // 2
-    pk = tm[:, :, m : m + npack].astype(jnp.int32)        # exact: < out_w^2 <= 2^20
+    pk = tm[:, :, m : m + npack].astype(jnp.int32)        # exact: < out_w^2 <= 2^24
     pos2 = jnp.stack([pk % out_w, pk // out_w], axis=-1)  # [B, nt, npack, 2]
     pos_in_tile = pos2.reshape(B, nt, 2 * npack)[:, :, :m]
     win = (
@@ -1020,10 +1040,16 @@ def _fused_t(
     # than m of the windows at or above the k-th found rank.  Selected windows
     # land ~Poisson(s1_w/nt) per tile, so the gate requires m >= 4x that mean:
     # measured on gaussian, 2x slack escalates (k=100 @ nt=32, k=1000 @ nt=128
-    # flip tier-1) while 4x certifies tier-0.  The packed-position encode needs
-    # out_w^2 <= 2^24 (f32-exact integers).
-    m_top = 8 if k <= 128 else 16
+    # flip tier-1) while 4x certifies tier-0.  m RAISES (in packed pairs, cap
+    # 32 — each +1 m is one more in-kernel min/argmin round across g groups)
+    # until the pool covers 4x the width: this is what admits k=1000-class
+    # widths (nt=256 needs m=18) — the pool then replaces the level-2 reduce +
+    # refine + wide L1 top_k that dominated k=1000's 11.8 ms.  The
+    # packed-position encode needs out_w^2 <= 2^24 (f32-exact integers).
+    m_base = 8 if k <= 128 else 16
     nt_all = cap // SWEEP_TILE
+    m_need = -(-4 * s1_w // max(nt_all, 1))
+    m_top = max(m_base, -(-m_need // 2) * 2)
     out_w_all = g * WLANE
     # block-min-eligible configs (k<=16: r1=32 -> g=1, r2=WLANE) keep the wmin
     # selection + in-kernel level-2 epilogue — measured faster than the pool
@@ -1036,6 +1062,7 @@ def _fused_t(
         and not bm_eligible
         and P_all % WLANE == 0
         and nt_all > 1
+        and m_top <= 32
         and nt_all * m_top >= 4 * s1_w
         and out_w_all * out_w_all <= (1 << 24)
     )
@@ -1047,6 +1074,14 @@ def _fused_t(
     # window-min matrix (~0.2-0.6 ms at DEEP shape).  The top-m epilogue
     # supersedes it on certified programs.
     emit_bm = transposed and r2 == WLANE and g == 1 and not use_topm
+    # tier-2 (8x wider selection on the window-min matrix) only exists while its
+    # gather traffic stays under the exact scan's stream (see the dispatch at the
+    # bottom); when the pool serves tier 1 AND tier 2 is ruled out, the window-min
+    # matrix has no consumer at all — skip emitting it (saves the 134 MB write at
+    # 1M/r1=4 and frees XLA from scheduling the rescan under that live buffer)
+    s2_w = min(8 * s1_w, P_all)
+    tier2_exists = s2_w > s1_w and q.shape[0] * s2_w * r1 <= cap
+    skip_wm = use_topm and not tier2_exists
 
     # -------- exactness certificate (ADVICE r2: a fixed selection margin is not a
     # bound when phase 1 ranks on rounded inputs).  The sweep kernel emits
@@ -1101,11 +1136,13 @@ def _fused_t(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
         scale_row, bias_row, q_tile=q_tile, g=g, transposed=transposed,
         emit_block_mins=emit_bm, emit_topm=m_top if use_topm else 0,
-        qe=qe, eb_rows=eb_rows,
+        skip_wm=skip_wm, qe=qe, eb_rows=eb_rows,
     )
     wmin2_pre = None
     topm = None
-    if emit_bm:
+    if skip_wm:
+        topm, wm = wm, None                               # pool is the only output
+    elif emit_bm:
         wm, wm2raw = wm
         wmin2_pre = wm2raw[:, 0, :].T                     # [B, nt] block mins
     elif use_topm:
@@ -1153,21 +1190,21 @@ def _fused_t(
                          k=k, metric=metric, db_tile=8 * SWEEP_TILE)
         return d, i, jnp.int32(2)
 
-    s2 = min(8 * s1, P_all)
-    B = q.shape[0]
     # tier-2 only earns its keep while its gather traffic (B * s2 * r1 rows) stays
     # under the exact scan's one-pass stream (cap rows for ALL queries): beyond that
     # crossover the wider selection is slower than the fallback it delays — and its
     # subgraph dominates the certified program's compile time at large k (measured:
-    # the k=1000 certified program compiled 10+ minutes with it, seconds without)
-    if s2 <= s1 or B * s2 * r1 > cap:
+    # the k=1000 certified program compiled 10+ minutes with it, seconds without).
+    # (tier2_exists was decided above, before the sweep, so skip_wm could drop the
+    # window-min emission when this branch is the one taken.)
+    if not tier2_exists:
         return jax.lax.cond(
             ok1, lambda _: (d1, i1, jnp.int32(0)), exact_fallback, operand=None
         )
 
     def tier2_or_exact(_):
         # selection+rescan only — the HBM sweep is not repaid
-        d2, i2, ok2 = tier(s2)
+        d2, i2, ok2 = tier(s2_w)
         return jax.lax.cond(
             ok2, lambda _: (d2, i2, jnp.int32(1)), exact_fallback, operand=None
         )
