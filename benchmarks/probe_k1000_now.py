@@ -1,0 +1,75 @@
+"""Quick status check: the PRODUCTION certified fused path at k=1000 on HEAD
+(top-m pool + skip_wm + chunked rescan), plus phase-1-only — minimal compile
+surface so it finishes inside one probe budget.
+
+Run on the real TPU:  python benchmarks/probe_k1000_now.py [N_log2=20] [k=1000]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from benchmarks.timing import device_seconds_per_call  # noqa: E402
+from mlvectordb_tpu.ops import pallas_knn_t as pkt  # noqa: E402
+
+N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+D = 128
+B = 128
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+
+
+def med(fn, args, runs=7, iters=8):
+    device_seconds_per_call(fn, args, iters=4)
+    ts = sorted(device_seconds_per_call(fn, args, iters=iters) for _ in range(runs))
+    return ts[runs // 2], ts
+
+
+def main():
+    print(f"backend={jax.default_backend()} N={N} D={D} B={B} k={K}", flush=True)
+    rng = np.random.default_rng(42)
+    data_np = rng.standard_normal((N, D), dtype=np.float32)
+    q_np = rng.standard_normal((B, D), dtype=np.float32)
+    data = jnp.asarray(data_np)
+    sq = jnp.sum(data * data, axis=-1)
+    valid = jnp.ones((N,), jnp.bool_)
+    q = jnp.asarray(q_np)
+    dbt = pkt.to_sweep_layout(data, dtype=jnp.bfloat16)
+    resid, rscale, err2, err1 = pkt.quantize_resid(data)
+
+    sq_np = (data_np ** 2).sum(-1)
+    d_or = sq_np[None, :] - 2.0 * (q_np @ data_np.T) + (q_np ** 2).sum(-1)[:, None]
+    i_or = np.argpartition(d_or, K, axis=1)[:, :K]
+
+    prep = pkt.search_prep(
+        B, dbt, data.dtype, valid, sq, k=K, metric="l2", live_prefix=N,
+        sweep_err=err2, resid=resid, rscale=rscale, err1=err1,
+    )
+    pl, pdef = jtu.tree_flatten(prep)
+
+    def fn(qq, ddt, dd, vv, ss, se, rz, rs, e1, *pleaves):
+        return pkt.exact_knn_pallas_t(
+            qq, ddt, dd, vv, ss, k=K, metric="l2", live_prefix=N,
+            sweep_err=se, resid=rz, rscale=rs, err1=e1,
+            prep=jtu.tree_unflatten(pdef, pleaves), report_tier=True,
+        )
+
+    args = [q, dbt, data, valid, sq, err2, resid, rscale, err1] + pl
+    print("compiling fused ...", flush=True)
+    dists, idx, tier = fn(*args)
+    idx = np.asarray(idx)
+    hits = sum(len(set(idx[b].tolist()) & set(i_or[b].tolist())) for b in range(B))
+    rec = hits / (B * K)
+    t, ts = med(fn, args)
+    print(f"fused production: {t*1e3:7.3f} ms = {B/t:9,.0f} QPS  tier={int(tier)}  "
+          f"recall={rec:.4f}  runs={['%.2f' % (x*1e3) for x in ts]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

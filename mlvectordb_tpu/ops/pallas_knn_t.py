@@ -541,6 +541,18 @@ TOPM_ENABLE = _os.environ.get("MLVDB_TOPM", "1") != "0"
 # lax.map chunks instead of one monolithic pass (see _rescan_windows); trace-time
 RESCAN_CHUNK_FROM = int(_os.environ.get("MLVDB_RESCAN_CHUNK_FROM", "2048"))
 
+# block-top refine for wide certified selections (see _select_and_rescan): each
+# selected level-2 block yields its MB smallest windows by iterated min/argmin
+# instead of one chunked top_k over [B, s2*r2]; MB=8 puts the hidden-window
+# escalation odds at ~1e-3/batch under the W2 >= 4*s gate
+BLOCKTOP_ENABLE = _os.environ.get("MLVDB_BLOCKTOP", "1") != "0"
+MB_BLOCKTOP = int(_os.environ.get("MLVDB_BLOCKTOP_M", "8"))
+
+# allow the top-m pool on block-min-eligible shapes (k<=32, r1=32) — off by
+# default (the bm wmin selection serves there); probes flip it per call to A/B
+# the two in one process now that tuning is a static jit arg
+TOPM_BM = _os.environ.get("MLVDB_TOPM_BM", "0") != "0"
+
 
 def _topk_min(x, kk: int):
     """Smallest-kk (values, positions): top_k for small kk, pair-sort for large."""
@@ -607,7 +619,7 @@ def _flat_rows(mat3, idx):
 
 def _select_and_rescan(
     q32, qn_row, rescan, maskadd, hw, wmin, *, k, metric, r1, masked, s_sel=None,
-    r2=R2, wmin_t=None, spec_l2=False, wmin2=None,
+    r2=R2, wmin_t=None, spec_l2=False, wmin2=None, chunk_from=None, blocktop=False,
 ):
     """Hierarchical window selection + exact HIGHEST rescan of contiguous windows.
 
@@ -703,19 +715,63 @@ def _select_and_rescan(
                 l1_blk = jnp.sum(jnp.where(onehot[..., None], rows4, 0.0), axis=2)
             else:
                 l1_blk = _flat_rows(wmin3, w2i)           # [B, s2, r2]
-        s1 = min(s, s2 * r2)
-        l1_vals = l1_blk.reshape(B, s2 * r2)
-        v1, pos, floor = _topk_spec(l1_vals, s1)
-        w2sel = jnp.take_along_axis(w2i, pos // r2, axis=1)
-        p = w2sel * r2 + pos % r2                         # output positions
-        # unselected blocks >= s2-th block-min; unselected windows inside selected
-        # blocks >= min(s1-th value, speculative floor)
-        thresh = fl2                                      # level-2 speculation floor
-        if s2 < W2:
-            thresh = jnp.minimum(thresh, v2[:, -1])
-        if s1 < s2 * r2:
-            thresh = jnp.minimum(thresh, v1[:, -1])
-        thresh = jnp.minimum(thresh, floor)
+        # BLOCK-TOP refine (certified only): at k=1000 widths the level-1 stage —
+        # chunked speculative top_k over [B, s2*r2 ~ 36K] — is the single most
+        # expensive selection piece (~2-3 ms of the measured 3.5-3.9 ms refine).
+        # Each selected block instead yields its MB smallest windows by MB rounds
+        # of min/argmin/mask over the minor axis (pure VPU elementwise), and one
+        # narrow top-s1 runs on the [B, s2*MB] candidates.  SOUND under the
+        # certificate only: a block hiding more than MB hot windows lowers
+        # block_floor (min over blocks of each block's MB-th min) below the k-th
+        # found rank and the batch escalates — with hot windows ~Poisson(s/W2)
+        # per block, the W2 >= 4*s gate puts that at P(>=8) ~ 1e-3 per batch.
+        use_bt = blocktop and spec_l2 and s >= 512 and MB_BLOCKTOP < r2 and W2 >= 4 * s
+        if use_bt:
+            MB = MB_BLOCKTOP
+            iota_r = jnp.arange(r2, dtype=jnp.int32)
+            work = l1_blk
+            vals, poss = [], []
+            for _ in range(MB):
+                m1 = work.min(axis=2)                     # [B, s2]
+                pm = jnp.min(
+                    jnp.where(work == m1[..., None], iota_r, r2), axis=2
+                )
+                # NaN rows match no lane: pm stays at the r2 sentinel — clamp so
+                # the candidate decodes inside its own block (a NaN kth fails
+                # check_exact and escalates regardless)
+                pm = jnp.minimum(pm, r2 - 1)
+                vals.append(m1)
+                poss.append(pm)
+                work = jnp.where(
+                    iota_r[None, None, :] == pm[..., None], jnp.inf, work
+                )
+            cand_v = jnp.stack(vals, -1).reshape(B, s2 * MB)
+            cand_p = (
+                w2i[:, :, None] * r2 + jnp.stack(poss, -1)
+            ).reshape(B, s2 * MB)
+            s1 = min(s, s2 * MB)
+            v1, sel = _topk_min(cand_v, s1)
+            p = jnp.take_along_axis(cand_p, sel, axis=1)
+            block_floor = vals[-1].min(axis=1)            # [B] MB-th mins' min
+            thresh = jnp.minimum(fl2, block_floor)
+            if s2 < W2:
+                thresh = jnp.minimum(thresh, v2[:, -1])
+            if s1 < s2 * MB:
+                thresh = jnp.minimum(thresh, v1[:, -1])
+        else:
+            s1 = min(s, s2 * r2)
+            l1_vals = l1_blk.reshape(B, s2 * r2)
+            v1, pos, floor = _topk_spec(l1_vals, s1)
+            w2sel = jnp.take_along_axis(w2i, pos // r2, axis=1)
+            p = w2sel * r2 + pos % r2                     # output positions
+            # unselected blocks >= s2-th block-min; unselected windows inside
+            # selected blocks >= min(s1-th value, speculative floor)
+            thresh = fl2                                  # level-2 speculation floor
+            if s2 < W2:
+                thresh = jnp.minimum(thresh, v2[:, -1])
+            if s1 < s2 * r2:
+                thresh = jnp.minimum(thresh, v1[:, -1])
+            thresh = jnp.minimum(thresh, floor)
     else:
         s1 = min(s, P)
         v1, p, floor = _topk_spec(wmin, s1)
@@ -724,12 +780,13 @@ def _select_and_rescan(
     f = _pos_to_window(p, g)                              # [B, s1] fine windows
     best_d, best_i = _rescan_windows(
         q32, qn_row, rescan, maskadd, hw, f, k=k, metric=metric, r1=r1,
-        masked=masked,
+        masked=masked, chunk_from=chunk_from,
     )
     return best_d, best_i, thresh
 
 
-def _rescan_windows(q32, qn_row, rescan, maskadd, hw, f, *, k, metric, r1, masked):
+def _rescan_windows(q32, qn_row, rescan, maskadd, hw, f, *, k, metric, r1, masked,
+                    chunk_from=None):
     """Exact HIGHEST-precision rescan of the selected fine windows ``f`` [B, s1]:
     contiguous r1-row gathers + fused VPU scoring + final top-k."""
     B, s1 = f.shape
@@ -775,7 +832,9 @@ def _rescan_windows(q32, qn_row, rescan, maskadd, hw, f, *, k, metric, r1, maske
     # on exactness (same rows, same arithmetic).  s1 pads to a chunkable width;
     # pad slots repeat window 0 and are masked to MASKED below so duplicates
     # can never enter the top-k.
-    if s1 * r1 >= RESCAN_CHUNK_FROM:
+    if chunk_from is None:
+        chunk_from = RESCAN_CHUNK_FROM
+    if s1 * r1 >= chunk_from:
         nch = 8
         s1p = -(-s1 // nch) * nch
         fpad = jnp.pad(f, ((0, 0), (0, s1p - s1)))
@@ -800,6 +859,7 @@ def _rescan_windows(q32, qn_row, rescan, maskadd, hw, f, *, k, metric, r1, maske
 
 def _select_topm_and_rescan(
     q32, qn_row, rescan, maskadd, hw, topm, *, k, metric, r1, masked, s_sel, m,
+    chunk_from=None,
 ):
     """Selection from the sweep kernel's per-tile top-m candidate pool
     (_sweep_kernel n_top) + the shared exact rescan.
@@ -837,7 +897,7 @@ def _select_topm_and_rescan(
     f = _pos_to_window(p, g)
     best_d, best_i = _rescan_windows(
         q32, qn_row, rescan, maskadd, hw, f, k=k, metric=metric, r1=r1,
-        masked=masked,
+        masked=masked, chunk_from=chunk_from,
     )
     return best_d, best_i, thresh
 
@@ -958,13 +1018,14 @@ _prep_terms_jit = jax.jit(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "r1", "masked", "q_tile", "certify", "light",
-                     "use_resid", "wb_sources", "q_tags", "err_tags"),
+                     "use_resid", "wb_sources", "q_tags", "err_tags", "tuning"),
 )
 def _fused_t(
     q, data_t, rescan, valid, sq_norms, hw, sweep_err=None,
     resid=None, rscale=None, err1=None, rscale2=None, prep=None,
     *, k, metric, r1, masked, q_tile, certify=True, light=False,
     use_resid=False, wb_sources=(), q_tags=(), err_tags=(),
+    tuning=None,
 ):
     """The whole search — prep, sweep, selection, rescan — as ONE dispatched program.
 
@@ -973,6 +1034,15 @@ def _fused_t(
     program as before, for direct/sharded callers without a snapshot)."""
     Dp, cap = data_t.shape
     g = R1MAX // r1
+    # tuning = (topm_enable, rescan_chunk_from): STATIC jit args, not trace-time
+    # globals — jax.jit caches on static args + avals only, so a probe toggling
+    # the module globals between calls would silently get the FIRST-traced
+    # program back (this confounded the round-4 pool-vs-wmin A/Bs; the
+    # round-5 bisect caught it when the "pool" fused number matched wmin
+    # exactly while the pool phase-1 alone measured 19.7 ms).
+    topm_enable, rescan_chunk_from, bt_enable, topm_bm = (
+        tuning if tuning is not None
+        else (TOPM_ENABLE, RESCAN_CHUNK_FROM, BLOCKTOP_ENABLE, TOPM_BM))
     q32 = q.astype(jnp.float32)
     qn_row = jnp.sum(q32 * q32, axis=-1)
 
@@ -1058,11 +1128,17 @@ def _fused_t(
     bm_eligible = k <= 32 and r1 == R1MAX and P_all % WLANE == 0 and P_all // WLANE > 1
     use_topm = (
         certify
-        and TOPM_ENABLE
-        and not bm_eligible
+        and topm_enable
+        and (topm_bm or not bm_eligible)
         and P_all % WLANE == 0
         and nt_all > 1
-        and m_top <= 32
+        # epilogue cost is ~m_top sequential rounds of cross-lane min/argmin/mask
+        # over g groups: measured on the real chip at k=1000 shape (g=8), m=16
+        # makes phase-1 16.9 ms and m=18 19.7 ms vs 0.85 plain — a 20x sweep
+        # slowdown the pool can never repay.  m*g <= 32 keeps the measured-good
+        # band (k=100: m=8, g=2) and rules the k=1000-class configs out
+        # (benchmarks/probe_k1000_bisect2.py).
+        and m_top * g <= 32
         and nt_all * m_top >= 4 * s1_w
         and out_w_all * out_w_all <= (1 << 24)
     )
@@ -1120,17 +1196,23 @@ def _fused_t(
         else:  # ("rel", x): worst-case elementwise band; tier-1 widens to compensate
             err = err + t[1] * qh_l2 * (1.0 if metric == "cosine" else maxd)
 
-    def check_exact(best_d, thresh):  # [B] bool; must not shadow the `certify` param
+    def check_exact(best_d, thresh, sel=None):
+        # [Bq] bool; must not shadow the `certify` param.  ``sel`` [Bq] selects a
+        # query sub-batch (the contained-escalation tier re-proves only the
+        # queries whose tier-1 certificate failed).
+        qn = qn_row if sel is None else qn_row[sel]
+        ql = q_l2 if sel is None else q_l2[sel]
+        e = err if sel is None else err[sel]
         kth = best_d[:, k - 1]
         if metric == "l2":
-            kth_rank = kth - qn_row                       # dist = qn + rank
+            kth_rank = kth - qn                           # dist = qn + rank
         elif metric == "ip":
             kth_rank = kth - 1.0                          # dist = 1 + rank
         else:
-            kth_rank = (kth - 1.0) * q_l2                 # dist = 1 + rank/|q|
+            kth_rank = (kth - 1.0) * ql                   # dist = 1 + rank/|q|
         kth_real = kth < float(MASKED) / 2
         # thresh == +inf: every window was rescanned — exact regardless of fill
-        return jnp.where(kth_real, thresh - err >= kth_rank, jnp.isinf(thresh))
+        return jnp.where(kth_real, thresh - e >= kth_rank, jnp.isinf(thresh))
 
     wm = _window_mins(
         qh, qres, data_t, resid if use_resid else None, rscale_row,
@@ -1160,18 +1242,20 @@ def _fused_t(
             d, i, th = _select_topm_and_rescan(
                 q32, qn_row[:, None], rescan, maskadd, hw, topm,
                 k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel, m=m_top,
+                chunk_from=rescan_chunk_from,
             )
         else:
             d, i, th = _select_and_rescan(
                 q32, qn_row[:, None], rescan, maskadd, hw, wmin,
                 k=k, metric=metric, r1=r1, masked=masked, s_sel=s_sel,
                 r2=r2, wmin_t=wmin_t, spec_l2=certify,
-                wmin2=wmin2_pre,
+                wmin2=wmin2_pre, chunk_from=rescan_chunk_from,
+                blocktop=bt_enable,
             )
-        return d, i, jnp.all(check_exact(d, th))
+        return d, i, th
 
     s1 = s1_w
-    d1, i1, ok1 = tier(s1, from_topm=use_topm)
+    d1, i1, th1 = tier(s1, from_topm=use_topm)
     if not certify:
         # margin-based mode (EngineConfig.certify_exact=False): return the fast tier
         # unconditionally.  Exactness then rests on the empirical selection margin +
@@ -1190,6 +1274,9 @@ def _fused_t(
                          k=k, metric=metric, db_tile=8 * SWEEP_TILE)
         return d, i, jnp.int32(2)
 
+    okq = check_exact(d1, th1)                            # [B] per-query proof
+    ok1 = jnp.all(okq)
+
     # tier-2 only earns its keep while its gather traffic (B * s2 * r1 rows) stays
     # under the exact scan's one-pass stream (cap rows for ALL queries): beyond that
     # crossover the wider selection is slower than the fallback it delays — and its
@@ -1204,13 +1291,54 @@ def _fused_t(
 
     def tier2_or_exact(_):
         # selection+rescan only — the HBM sweep is not repaid
-        d2, i2, ok2 = tier(s2_w)
+        d2, i2, th2 = tier(s2_w)
+        ok2 = jnp.all(check_exact(d2, th2))
         return jax.lax.cond(
             ok2, lambda _: (d2, i2, jnp.int32(1)), exact_fallback, operand=None
         )
 
+    # CONTAINED escalation (VERDICT r4 weak #4): the proof is per query, so one
+    # adversarial query in a batch need not drag every query through tier 2 —
+    # when at most FQ_CONTAIN certificates failed, re-select at tier-2 width for
+    # a fixed FQ-query sub-batch only (window-min rows gathered per query; the
+    # rescan pays s2*r1 rows for FQ queries instead of B).  Each re-proof is the
+    # same per-query certificate at the wider threshold; any residual failure
+    # still falls through to the exact scan.  Poisoned-batch cost is then
+    # tier-1 + an FQ/B-scale selection instead of tier-1 + full tier-2.
+    FQ_CONTAIN = 8
+    contain = q.shape[0] > FQ_CONTAIN and not skip_wm
+
+    def contained(_):
+        fail = (~okq).astype(jnp.float32)
+        _, fidx = jax.lax.top_k(fail, FQ_CONTAIN)         # failing first; rest pad
+        if wmin_t is not None:
+            wm_s, wmt_s = None, wmin_t[:, fidx, :]
+        else:
+            wm_s, wmt_s = wmin[fidx], None
+        d_f, i_f, th_f = _select_and_rescan(
+            q32[fidx], qn_row[fidx][:, None], rescan, maskadd, hw, wm_s,
+            k=k, metric=metric, r1=r1, masked=masked, s_sel=s2_w,
+            r2=r2, wmin_t=wmt_s, spec_l2=True,
+            wmin2=None if wmin2_pre is None else wmin2_pre[fidx],
+            chunk_from=rescan_chunk_from, blocktop=bt_enable,
+        )
+        ok_f = jnp.all(check_exact(d_f, th_f, sel=fidx))
+        d_m = d1.at[fidx].set(d_f)
+        i_m = i1.at[fidx].set(i_f)
+        return jax.lax.cond(
+            ok_f, lambda _: (d_m, i_m, jnp.int32(1)), exact_fallback, operand=None
+        )
+
+    def escalate(_):
+        if not contain:
+            return tier2_or_exact(None)
+        nfail = jnp.sum(~okq)
+        return jax.lax.cond(
+            nfail <= FQ_CONTAIN, contained, tier2_or_exact, operand=None
+        )
+
     return jax.lax.cond(
-        ok1, lambda _: (d1, i1, jnp.int32(0)), tier2_or_exact, operand=None
+        ok1, lambda _: (d1, i1, jnp.int32(0)), escalate, operand=None
     )
 
 
@@ -1431,5 +1559,8 @@ def exact_knn_pallas_t(
         rscale2, prep, k=k, metric=metric, r1=r1, masked=masked, q_tile=qt_w,
         certify=certify, light=light, use_resid=use_resid, wb_sources=wb_sources,
         q_tags=q_tags, err_tags=err_tags,
+        # globals read at CALL time and passed as a STATIC arg: distinct tuning
+        # settings get distinct compiled programs (see _fused_t's tuning note)
+        tuning=(TOPM_ENABLE, RESCAN_CHUNK_FROM, BLOCKTOP_ENABLE, TOPM_BM),
     )
     return (d, i, tier) if report_tier else (d, i)

@@ -681,3 +681,70 @@ def test_topm_large_k_pool_matches_oracle(rng):
     np.testing.assert_allclose(
         np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
     )
+
+
+def test_mixed_batch_contained_escalation(rng):
+    """ONE adversarial query in an otherwise benign batch (VERDICT r4 weak #4):
+    the per-query certificate localizes the failure, the contained tier re-proves
+    only an 8-query sub-batch at tier-2 width (tier reports 1, not 2 — the exact
+    scan never runs), and every query's result matches the oracle set-exactly."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    n = 32 * DB_TILE
+    k, r1 = 32, 16  # _pick_r1(k=32) = 16; pool path (m=8) serves tier 1
+    db_np = rng.standard_normal((n, D)).astype(np.float32) * 4.0
+    qv = rng.standard_normal((D,)).astype(np.float32)
+    # 20 planted near-neighbours at stride r1 inside tile 0: more hot windows in
+    # one tile than the pool's m=8 -> query 0's tier-1 certificate fails
+    for j in range(20):
+        db_np[j * r1] = qv + rng.standard_normal(D).astype(np.float32) * 0.01
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q_np = rng.standard_normal((16, D)).astype(np.float32)
+    q_np[0] = qv  # the poisoned slot; the other 15 are benign gaussian
+    q = jnp.asarray(q_np)
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx, tier = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=k, metric="l2", live_prefix=n, sweep_err=sweep_err_norms(db),
+        report_tier=True,
+    )
+    assert int(tier) == 1, (
+        f"one poisoned query should be served by the CONTAINED tier (1), got {int(tier)}"
+    )
+    da, ia = exact_knn(q, db, valid, sq, k=k, metric="l2", db_tile=DB_TILE)
+    for b in range(16):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), b
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dp), 1), np.sort(np.asarray(da), 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mixed_batch_many_failures_still_exact(rng):
+    """More failing queries than the contained tier's sub-batch (9 > 8): the
+    dispatch falls through to the full tier-2/exact-scan chain and stays exact."""
+    from mlvectordb_tpu.ops.pallas_knn_t import sweep_err_norms
+
+    n = 32 * DB_TILE
+    k, r1 = 32, 16
+    db_np = rng.standard_normal((n, D)).astype(np.float32) * 4.0
+    q_np = rng.standard_normal((16, D)).astype(np.float32)
+    for b in range(9):  # 9 poisoned slots, each overflowing its own tile's pool
+        qv = rng.standard_normal((D,)).astype(np.float32)
+        q_np[b] = qv
+        base = (b + 1) * DB_TILE
+        for j in range(20):
+            db_np[base + j * r1] = qv + rng.standard_normal(D).astype(np.float32) * 0.01
+    db = jnp.asarray(db_np)
+    sq = jnp.sum(db * db, axis=-1)
+    q = jnp.asarray(q_np)
+    valid = jnp.ones((n,), jnp.bool_)
+    dp, ipx, tier = exact_knn_pallas_t(
+        q, to_sweep_layout(db, dtype=jnp.bfloat16), db, valid, sq,
+        k=k, metric="l2", live_prefix=n, sweep_err=sweep_err_norms(db),
+        report_tier=True,
+    )
+    assert int(tier) >= 1
+    da, ia = exact_knn(q, db, valid, sq, k=k, metric="l2", db_tile=DB_TILE)
+    for b in range(16):
+        assert set(np.asarray(ipx)[b].tolist()) == set(np.asarray(ia)[b].tolist()), b
