@@ -279,8 +279,37 @@ def main() -> int:
         [q, db_t, db, vmask, sq, db_err, db_resid, db_rscale, db_err1] + ph_leaves,
         iters=8,
     )
-    log(f"GloVe-shape cosine hybrid (50% filter): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
+    log(f"GloVe-shape cosine hybrid (50% filter, heavy cert): {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("glove_cosine_hybrid_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)
+    # SERVING-REPRESENTATIVE certified row: the engine's adaptive dispatch serves
+    # the LIGHT single-pass certified program on every namespace until a tier-2
+    # flip (engine/query_processor._use_light), so the heavy row above is what a
+    # clustered corpus converges to, not what this corpus serves.  Verify light
+    # actually certifies here (tier 0), then time it.
+    if on_tpu:
+        from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t as _ekt
+
+        phl = search_prep(B, db_t, db.dtype, vmask, sq, k=10, metric="cosine",
+                          live_prefix=None, light=True, sweep_err=db_err,
+                          resid=db_resid, rscale=db_rscale, err1=db_err1)
+        phl_leaves, phl_def = jtu.tree_flatten(phl)
+        _, _, t_hyl = _ekt(q, db_t, db, vmask, sq, k=10, metric="cosine",
+                           live_prefix=None, sweep_err=db_err, resid=db_resid,
+                           rscale=db_rscale, err1=db_err1, light=True,
+                           report_tier=True, prep=phl)
+        log(f"hybrid light certificate tier: {int(t_hyl)}")
+        t = device_seconds_per_call(
+            lambda qq, ddt, dd, vv, ss, de, rz, rs, e1, *pl: _ekt(
+                qq, ddt, dd, vv, ss, k=10, metric="cosine", live_prefix=None,
+                sweep_err=de, resid=rz, rscale=rs, err1=e1, light=True,
+                prep=jtu.tree_unflatten(phl_def, pl)),
+            [q, db_t, db, vmask, sq, db_err, db_resid, db_rscale, db_err1] + phl_leaves,
+            iters=8,
+        )
+        log(f"GloVe-shape cosine hybrid (50% filter, LIGHT cert — serving default): "
+            f"{t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
+        emit("glove_cosine_hybrid_light_qps", B / t, "qps", batch=B, n=N,
+             selectivity=0.5, tier=int(t_hyl))
     t = device_seconds_per_call(
         lambda qq, ddt, dd, vv, ss: backend(qq, dd, vv, ss, k=10, metric="cosine",
                                             live_prefix=None, ddt=ddt, derr=db_err,
@@ -289,6 +318,47 @@ def main() -> int:
     )
     log(f"GloVe hybrid margin-mode: {t*1e3:.3f} ms/batch-{B} = {B/t:,.0f} QPS")
     emit("glove_cosine_hybrid_margin_mode_qps", B / t, "qps", batch=B, n=N, selectivity=0.5)
+
+    # ---------------- worst-case corpus floor (VERDICT r4 weak #6) ------------------
+    # within_scale=0.18 (5x tighter than the suite corpus): the residual band sits
+    # above the neighbour-gap scale, so the certificate correctly refuses tier-1 at
+    # every k and every batch runs the exact-scan tier.  This row publishes the QPS
+    # FLOOR an operator can size against for adversarial data; exactness holds
+    # throughout (escalation costs speed, never correctness).
+    from benchmarks.datasets import synthesize_clustered
+
+    wc_n = 1 << (16 if args.quick else 20)
+    wc = synthesize_clustered(wc_n, 128, B, n_clusters=2000, within_scale=0.18,
+                              anisotropy=6.0)
+    wdb = jnp.asarray(wc["data"])
+    wsq = jnp.sum(wdb.astype(jnp.float32) * wdb.astype(jnp.float32), axis=-1)
+    wq = jnp.asarray(wc["queries"][:B])
+    wvalid = jnp.ones((wc_n,), jnp.bool_)
+    wdb_t = to_sweep_layout(wdb, dtype=jnp.bfloat16) if on_tpu else None
+    if on_tpu:
+        wresid, wrscale, werr2, werr1 = quantize_resid(wdb)
+        for K in (10, 100, 1000):
+            pw = search_prep(B, wdb_t, wdb.dtype, wvalid, wsq, k=K, metric="l2",
+                             live_prefix=wc_n, sweep_err=werr2, resid=wresid,
+                             rscale=wrscale, err1=werr1)
+            pw_leaves, pw_def = jtu.tree_flatten(pw)
+            from mlvectordb_tpu.ops.pallas_knn_t import exact_knn_pallas_t as _ekt2
+
+            def _wc_fn(qq, ddt, dd, vv, ss, se, rz, rs, e1, *pl, _K=K, _pd=pw_def):
+                return _ekt2(qq, ddt, dd, vv, ss, k=_K, metric="l2",
+                             live_prefix=wc_n, sweep_err=se, resid=rz, rscale=rs,
+                             err1=e1, report_tier=True,
+                             prep=jtu.tree_unflatten(_pd, pl))
+
+            wargs = [wq, wdb_t, wdb, wvalid, wsq, werr2, wresid, wrscale, werr1] + pw_leaves
+            _, _, wtier = _wc_fn(*wargs)
+            t = device_seconds_per_call(_wc_fn, wargs, iters=6)
+            log(f"worst-case (within_scale=0.18) k={K}: {t*1e3:.3f} ms/batch-{B} = "
+                f"{B/t:,.0f} QPS  tier={int(wtier)}")
+            emit(f"worstcase_ws018_l2_k{K}_qps", B / t, "qps", batch=B, n=wc_n,
+                 tier=int(wtier))
+        del wresid, wrscale, werr2, werr1
+    del wdb, wsq, wq, wvalid, wdb_t, wc
 
     # ---------------- DEEP-10M shape: bf16 (config #4, single-chip portion) ---------
     N2 = 1 << (18 if args.quick else 23)  # 8.4M rows x 128 lanes bf16 = 2 GB
