@@ -553,6 +553,10 @@ MB_BLOCKTOP = int(_os.environ.get("MLVDB_BLOCKTOP_M", "8"))
 # the two in one process now that tuning is a static jit arg
 TOPM_BM = _os.environ.get("MLVDB_TOPM_BM", "0") != "0"
 
+# per-query contained escalation (see _fused_t): on by default; the knob exists
+# to bisect its compile-time cost per program
+CONTAIN_ENABLE = _os.environ.get("MLVDB_CONTAIN", "1") != "0"
+
 
 def _topk_min(x, kk: int):
     """Smallest-kk (values, positions): top_k for small kk, pair-sort for large."""
@@ -1040,9 +1044,10 @@ def _fused_t(
     # program back (this confounded the round-4 pool-vs-wmin A/Bs; the
     # round-5 bisect caught it when the "pool" fused number matched wmin
     # exactly while the pool phase-1 alone measured 19.7 ms).
-    topm_enable, rescan_chunk_from, bt_enable, topm_bm = (
+    (topm_enable, rescan_chunk_from, bt_enable, topm_bm, contain_enable) = (
         tuning if tuning is not None
-        else (TOPM_ENABLE, RESCAN_CHUNK_FROM, BLOCKTOP_ENABLE, TOPM_BM))
+        else (TOPM_ENABLE, RESCAN_CHUNK_FROM, BLOCKTOP_ENABLE, TOPM_BM,
+              CONTAIN_ENABLE))
     q32 = q.astype(jnp.float32)
     qn_row = jnp.sum(q32 * q32, axis=-1)
 
@@ -1306,7 +1311,7 @@ def _fused_t(
     # still falls through to the exact scan.  Poisoned-batch cost is then
     # tier-1 + an FQ/B-scale selection instead of tier-1 + full tier-2.
     FQ_CONTAIN = 8
-    contain = q.shape[0] > FQ_CONTAIN and not skip_wm
+    contain = contain_enable and q.shape[0] > FQ_CONTAIN and not skip_wm
 
     def contained(_):
         fail = (~okq).astype(jnp.float32)
@@ -1561,6 +1566,7 @@ def exact_knn_pallas_t(
         q_tags=q_tags, err_tags=err_tags,
         # globals read at CALL time and passed as a STATIC arg: distinct tuning
         # settings get distinct compiled programs (see _fused_t's tuning note)
-        tuning=(TOPM_ENABLE, RESCAN_CHUNK_FROM, BLOCKTOP_ENABLE, TOPM_BM),
+        tuning=(TOPM_ENABLE, RESCAN_CHUNK_FROM, BLOCKTOP_ENABLE, TOPM_BM,
+                CONTAIN_ENABLE),
     )
     return (d, i, tier) if report_tier else (d, i)
